@@ -1,0 +1,34 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-device correctness is tested without TPU hardware via
+``xla_force_host_platform_device_count`` — the JAX-native replacement for the
+reference's (absent) fake-distributed-backend story (SURVEY.md section 4).
+Must run before jax initializes its backends, hence env mutation at import.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+REFERENCE_GD = "/root/reference/examples/guided_diffusion"
+
+
+@pytest.fixture(scope="session")
+def reference_gd():
+    """Import the reference guided_diffusion package for golden-value parity
+    tests. Skips if the reference checkout or torch is unavailable."""
+    if not os.path.isdir(REFERENCE_GD):
+        pytest.skip("reference checkout not available")
+    if REFERENCE_GD not in sys.path:
+        sys.path.insert(0, REFERENCE_GD)
+    try:
+        from guided_diffusion import gaussian_diffusion, respace  # noqa: F401
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
+    return sys.modules["guided_diffusion"]
