@@ -1,0 +1,445 @@
+"""ADM UNet family in flax/linen, NHWC, with first-class layer masking.
+
+Re-design of guided_diffusion/unet.py:396-896 and dynamic_unet.py:507-702 as
+one model: every prunable block (ResBlock / AttentionBlock) has a static
+``layer_id`` assigned in construction order — identical numbering to
+Dynamic_UNetModel (dynamic_unet.py:507-655) so published ``skip_layers``
+artifacts transfer — and the forward pass takes an optional ``keep_mask``
+vector of shape [layer_num].
+
+TPU-first skip semantics: the reference short-circuits a skipped ResBlock to
+``skip_connection(x_upd(x))`` and a skipped AttentionBlock to identity
+(dynamic_unet.py:245-249,316-318). Both are exactly ``residual_branch * 0``,
+so skipping is implemented as multiplying the residual branch by
+``keep_mask[layer_id]`` — a single compiled graph (no retrace, no dynamic
+control flow) serves every architecture candidate during search. For
+deployment-time real speedups, pass ``structural_skip`` (a static frozenset)
+instead, which removes the branches at trace time at the cost of one
+compilation per architecture.
+"""
+
+from __future__ import annotations
+
+from typing import Any, FrozenSet, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .nn import Downsample, GroupNorm32, Upsample, timestep_embedding, zero_init
+
+Dtype = Any
+
+
+def _keep_factor(keep_mask, layer_id: int, structural_skip, dtype) -> Optional[jnp.ndarray]:
+    """None = statically kept; 0.0 array = statically skipped; else dynamic."""
+    if structural_skip is not None and layer_id in structural_skip:
+        return jnp.zeros((), dtype=dtype)
+    if keep_mask is None:
+        return None
+    return keep_mask[layer_id].astype(dtype)
+
+
+class ResBlock(nn.Module):
+    """Residual block with FiLM (scale-shift) timestep conditioning.
+
+    Mirrors unet.py:143-256 / dynamic_unet.py:179-271: GN->SiLU->conv input
+    path (with optional up/down resampling applied to both h and x),
+    embedding MLP producing scale/shift, GN*(1+scale)+shift -> SiLU ->
+    dropout -> zero-init conv, plus a 1x1-conv (or identity) skip connection.
+    """
+
+    out_channels: Optional[int] = None
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = True
+    up: bool = False
+    down: bool = False
+    use_conv_skip: bool = False   # 3x3 conv skip instead of 1x1 (use_conv in ref)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, *, keep=None, deterministic: bool = True):
+        c_in = x.shape[-1]
+        c_out = self.out_channels or c_in
+
+        h = GroupNorm32(name="in_norm")(x)
+        h = nn.silu(h)
+        if self.up:
+            h = Upsample(use_conv=False, dtype=self.dtype, name="h_upd")(h)
+            x = Upsample(use_conv=False, dtype=self.dtype, name="x_upd")(x)
+        elif self.down:
+            h = Downsample(use_conv=False, dtype=self.dtype, name="h_upd")(h)
+            x = Downsample(use_conv=False, dtype=self.dtype, name="x_upd")(x)
+        h = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+
+        emb_out = nn.Dense(2 * c_out if self.use_scale_shift_norm else c_out,
+                           dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
+            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+        else:
+            h = h + emb_out[:, None, None, :]
+            h = GroupNorm32(name="out_norm")(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(c_out, (3, 3), padding=1, kernel_init=zero_init,
+                    dtype=self.dtype, name="out_conv")(h)
+
+        if c_out == c_in:
+            skip = x
+        elif self.use_conv_skip:
+            skip = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="skip")(x)
+        else:
+            skip = nn.Conv(c_out, (1, 1), dtype=self.dtype, name="skip")(x)
+
+        if keep is not None:
+            h = h * keep
+        return skip + h
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention with residual, unet.py:259-393.
+
+    ``new_order`` selects how the fused qkv projection's channel axis is
+    interpreted — QKVAttention ([q|k|v] blocks, heads-major inside each) vs
+    QKVAttentionLegacy (heads-major, [q|k|v] inside each head). The math is
+    identical; the layout matters for weight conversion from published
+    checkpoints. The 1/sqrt(sqrt(d)) double-scaling trick (applied to both q
+    and k, unet.py:355-361) is kept: softmax runs in float32 anyway, but the
+    split scaling preserves bit-level parity of the logits.
+    """
+
+    num_heads: int = 1
+    num_head_channels: int = -1
+    new_order: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, keep=None):
+        b, hgt, wid, c = x.shape
+        if self.num_head_channels == -1:
+            heads = self.num_heads
+        else:
+            assert c % self.num_head_channels == 0, (c, self.num_head_channels)
+            heads = c // self.num_head_channels
+        hd = c // heads
+
+        xf = x.reshape(b, hgt * wid, c)
+        qkv = nn.DenseGeneral(3 * c, dtype=self.dtype, name="qkv")(
+            GroupNorm32(name="norm")(xf))
+        if self.new_order:
+            q, k, v = jnp.split(qkv, 3, axis=-1)                       # [b,t,c] each
+            q = q.reshape(b, -1, heads, hd)
+            k = k.reshape(b, -1, heads, hd)
+            v = v.reshape(b, -1, heads, hd)
+        else:
+            qkv = qkv.reshape(b, -1, heads, 3 * hd)
+            q, k, v = jnp.split(qkv, 3, axis=-1)                       # [b,t,h,hd]
+
+        scale = 1.0 / np.sqrt(np.sqrt(hd))
+        logits = jnp.einsum("bthd,bshd->bhts",
+                            (q * scale).astype(jnp.float32),
+                            (k * scale).astype(jnp.float32))
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        a = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(b, -1, c)
+        a = nn.DenseGeneral(c, kernel_init=zero_init, dtype=self.dtype,
+                            name="proj_out")(a)
+        if keep is not None:
+            a = a * keep
+        return x + a.reshape(b, hgt, wid, c)
+
+
+class AttentionPool2d(nn.Module):
+    """CLIP-style attention pooling head for the classifier (unet.py:42-68)."""
+
+    num_heads: int
+    output_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        xf = x.reshape(b, h * w, c)
+        xf = jnp.concatenate([xf.mean(axis=1, keepdims=True), xf], axis=1)
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(1.0 / c ** 0.5),
+                         (h * w + 1, c), jnp.float32)
+        xf = xf + pos[None].astype(xf.dtype)
+        qkv = nn.DenseGeneral(3 * c, dtype=self.dtype, name="qkv_proj")(xf)
+        heads, hd = self.num_heads, c // self.num_heads
+        # QKVAttention (new order): split into q|k|v blocks first (unet.py:38-41)
+        q, k, v = (t.reshape(b, -1, heads, hd) for t in jnp.split(qkv, 3, axis=-1))
+        scale = 1.0 / np.sqrt(np.sqrt(hd))
+        logits = jnp.einsum("bthd,bshd->bhts",
+                            (q * scale).astype(jnp.float32),
+                            (k * scale).astype(jnp.float32))
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        a = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(b, -1, c)
+        a = nn.DenseGeneral(self.output_dim, dtype=self.dtype, name="c_proj")(a)
+        return a[:, 0]
+
+
+def unet_layer_count(num_res_blocks: int, channel_mult: Sequence[float],
+                     attention_ds: Sequence[int], resblock_updown: bool) -> int:
+    """Total prunable layers, matching dynamic_unet.py:507-655's counter.
+
+    For the ADM-64 config (3 res blocks, mult (1,2,3,4), attn ds {2,4,8},
+    resblock_updown) this yields 58, verified against the reference
+    Dynamic_UNetModel.layer_num and consistent with skip indices up to 56 in
+    the published artifacts.
+    """
+    n = 0
+    ds = 1
+    for level in range(len(channel_mult)):
+        for _ in range(num_res_blocks):
+            n += 1
+            if ds in attention_ds:
+                n += 1
+        if level != len(channel_mult) - 1:
+            if resblock_updown:
+                n += 1
+            ds *= 2
+    n += 3  # middle: ResBlock, Attention, ResBlock
+    for level in list(range(len(channel_mult)))[::-1]:
+        for i in range(num_res_blocks + 1):
+            n += 1
+            if ds in attention_ds:
+                n += 1
+            if level and i == num_res_blocks:
+                if resblock_updown:
+                    n += 1
+                ds //= 2
+    return n
+
+
+class UNetModel(nn.Module):
+    """The ADM UNet (unet.py:396-665), unified with its dynamic variant.
+
+    Args to __call__:
+      x:     [B, H, W, in_channels] NHWC
+      timesteps: [B] original-process timesteps (float or int)
+      y:     optional [B] int class labels (required iff num_classes set)
+      keep_mask: optional [layer_num] float/bool — 1 keeps a block's residual
+             branch, 0 skips it (search-time architecture masking)
+      structural_skip: optional frozenset of layer_ids removed at trace time
+             (deployment-time pruning; triggers recompilation per arch)
+    Returns [B, H, W, out_channels] in float32.
+    """
+
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    attention_ds: Tuple[int, ...] = (2, 4, 8)
+    channel_mult: Tuple[float, ...] = (1, 2, 3, 4)
+    dropout: float = 0.0
+    num_classes: Optional[int] = None
+    num_heads: int = 1
+    num_head_channels: int = -1
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = True
+    resblock_updown: bool = True
+    use_new_attention_order: bool = True
+    conv_resample: bool = True
+    dtype: Dtype = jnp.float32
+
+    @property
+    def layer_num(self) -> int:
+        return unet_layer_count(self.num_res_blocks, self.channel_mult,
+                                self.attention_ds, self.resblock_updown)
+
+    @nn.compact
+    def __call__(self, x, timesteps, y=None, *, keep_mask=None,
+                 structural_skip: Optional[FrozenSet[int]] = None,
+                 deterministic: bool = True):
+        assert (y is not None) == (self.num_classes is not None), \
+            "must specify y exactly when the model is class-conditional"
+        if keep_mask is not None:
+            # JAX clamps out-of-bounds gathers silently; catch bad masks here
+            assert keep_mask.shape[-1] == self.layer_num, \
+                f"keep_mask must have length {self.layer_num}, got {keep_mask.shape}"
+        heads_up = self.num_heads if self.num_heads_upsample == -1 else self.num_heads_upsample
+
+        time_embed_dim = self.model_channels * 4
+        emb = timestep_embedding(timesteps, self.model_channels, dtype=jnp.float32)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_0")(emb)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+        if self.num_classes is not None:
+            emb = emb + nn.Embed(self.num_classes, time_embed_dim,
+                                 dtype=self.dtype, name="label_emb")(y)
+
+        x = x.astype(self.dtype)
+        layer_id = 0
+
+        def keep_for(lid):
+            return _keep_factor(keep_mask, lid, structural_skip, self.dtype)
+
+        def res(h, c_out, lid, name, up=False, down=False):
+            return ResBlock(out_channels=c_out, dropout=self.dropout,
+                            use_scale_shift_norm=self.use_scale_shift_norm,
+                            up=up, down=down, dtype=self.dtype, name=name)(
+                h, emb, keep=keep_for(lid), deterministic=deterministic)
+
+        def attn(h, lid, name, heads=None):
+            return AttentionBlock(num_heads=heads or self.num_heads,
+                                  num_head_channels=self.num_head_channels,
+                                  new_order=self.use_new_attention_order,
+                                  dtype=self.dtype, name=name)(h, keep=keep_for(lid))
+
+        ch = int(self.channel_mult[0] * self.model_channels)
+        h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(x)
+        hs = [h]
+        ds = 1
+        for level, mult in enumerate(self.channel_mult):
+            for i in range(self.num_res_blocks):
+                ch = int(mult * self.model_channels)
+                h = res(h, ch, layer_id, f"down_{level}_{i}_res"); layer_id += 1
+                if ds in self.attention_ds:
+                    h = attn(h, layer_id, f"down_{level}_{i}_attn"); layer_id += 1
+                hs.append(h)
+            if level != len(self.channel_mult) - 1:
+                if self.resblock_updown:
+                    h = res(h, ch, layer_id, f"down_{level}_ds", down=True); layer_id += 1
+                else:
+                    h = Downsample(out_channels=ch, use_conv=self.conv_resample,
+                                   dtype=self.dtype, name=f"down_{level}_ds")(h)
+                hs.append(h)
+                ds *= 2
+
+        h = res(h, ch, layer_id, "mid_res0"); layer_id += 1
+        h = attn(h, layer_id, "mid_attn"); layer_id += 1
+        h = res(h, ch, layer_id, "mid_res1"); layer_id += 1
+
+        for level, mult in list(enumerate(self.channel_mult))[::-1]:
+            for i in range(self.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                ch = int(mult * self.model_channels)
+                h = res(h, ch, layer_id, f"up_{level}_{i}_res"); layer_id += 1
+                if ds in self.attention_ds:
+                    h = attn(h, layer_id, f"up_{level}_{i}_attn", heads=heads_up)
+                    layer_id += 1
+                if level and i == self.num_res_blocks:
+                    if self.resblock_updown:
+                        h = res(h, ch, layer_id, f"up_{level}_us", up=True); layer_id += 1
+                    else:
+                        h = Upsample(out_channels=ch, use_conv=self.conv_resample,
+                                     dtype=self.dtype, name=f"up_{level}_us")(h)
+                    ds //= 2
+
+        assert not hs
+        assert layer_id == self.layer_num, (layer_id, self.layer_num)
+        h = nn.silu(GroupNorm32(name="out_norm")(h))
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, kernel_init=zero_init,
+                    dtype=jnp.float32, param_dtype=jnp.float32, name="out_conv")(
+            h.astype(jnp.float32))
+        return h
+
+
+class SuperResModel(nn.Module):
+    """Super-resolution wrapper: concat bilinear-upsampled low-res input
+    (unet.py:668-682)."""
+
+    unet: UNetModel
+
+    def __call__(self, x, timesteps, low_res, y=None, **kwargs):
+        b, h, w, _ = x.shape
+        up = jax.image.resize(low_res, (b, h, w, low_res.shape[-1]), "bilinear")
+        return self.unet(jnp.concatenate([x, up], axis=-1), timesteps, y, **kwargs)
+
+
+class EncoderUNetModel(nn.Module):
+    """Half-UNet classifier (unet.py:685-896): encoder trunk + pooling head.
+
+    ``pool`` is one of adaptive / attention / spatial / spatial_v2. The ADM
+    noisy classifier uses attention pooling.
+    """
+
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    attention_ds: Tuple[int, ...] = (2, 4, 8)
+    channel_mult: Tuple[float, ...] = (1, 2, 3, 4)
+    dropout: float = 0.0
+    num_heads: int = 1
+    num_head_channels: int = -1
+    use_scale_shift_norm: bool = True
+    resblock_updown: bool = True
+    use_new_attention_order: bool = True
+    pool: str = "attention"
+    conv_resample: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timesteps, *, deterministic: bool = True):
+        time_embed_dim = self.model_channels * 4
+        emb = timestep_embedding(timesteps, self.model_channels, dtype=jnp.float32)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_0")(emb)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+
+        x = x.astype(self.dtype)
+        ch = int(self.channel_mult[0] * self.model_channels)
+        h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(x)
+        results = []
+        ds = 1
+        for level, mult in enumerate(self.channel_mult):
+            for i in range(self.num_res_blocks):
+                ch = int(mult * self.model_channels)
+                h = ResBlock(out_channels=ch, dropout=self.dropout,
+                             use_scale_shift_norm=self.use_scale_shift_norm,
+                             dtype=self.dtype, name=f"down_{level}_{i}_res")(
+                    h, emb, deterministic=deterministic)
+                if ds in self.attention_ds:
+                    h = AttentionBlock(num_heads=self.num_heads,
+                                       num_head_channels=self.num_head_channels,
+                                       new_order=self.use_new_attention_order,
+                                       dtype=self.dtype,
+                                       name=f"down_{level}_{i}_attn")(h)
+            if level != len(self.channel_mult) - 1:
+                if self.resblock_updown:
+                    h = ResBlock(out_channels=ch, dropout=self.dropout,
+                                 use_scale_shift_norm=self.use_scale_shift_norm,
+                                 down=True, dtype=self.dtype,
+                                 name=f"down_{level}_ds")(h, emb,
+                                                          deterministic=deterministic)
+                else:
+                    h = Downsample(out_channels=ch, use_conv=self.conv_resample,
+                                   dtype=self.dtype, name=f"down_{level}_ds")(h)
+                ds *= 2
+            if self.pool.startswith("spatial"):
+                results.append(h.mean(axis=(1, 2)))
+
+        h = ResBlock(out_channels=ch, dropout=self.dropout,
+                     use_scale_shift_norm=self.use_scale_shift_norm,
+                     dtype=self.dtype, name="mid_res0")(h, emb,
+                                                        deterministic=deterministic)
+        h = AttentionBlock(num_heads=self.num_heads,
+                           num_head_channels=self.num_head_channels,
+                           new_order=self.use_new_attention_order,
+                           dtype=self.dtype, name="mid_attn")(h)
+        h = ResBlock(out_channels=ch, dropout=self.dropout,
+                     use_scale_shift_norm=self.use_scale_shift_norm,
+                     dtype=self.dtype, name="mid_res1")(h, emb,
+                                                        deterministic=deterministic)
+
+        if self.pool == "adaptive":
+            h = nn.silu(GroupNorm32(name="out_norm")(h))
+            h = h.mean(axis=(1, 2), keepdims=True)
+            h = nn.Conv(self.out_channels, (1, 1), kernel_init=zero_init,
+                        dtype=jnp.float32, name="out_conv")(h.astype(jnp.float32))
+            return h.reshape(h.shape[0], -1)
+        if self.pool == "attention":
+            h = nn.silu(GroupNorm32(name="out_norm")(h))
+            heads = (ch // self.num_head_channels
+                     if self.num_head_channels != -1 else self.num_heads)
+            return AttentionPool2d(num_heads=heads, output_dim=self.out_channels,
+                                   dtype=self.dtype, name="out_pool")(h).astype(jnp.float32)
+        if self.pool.startswith("spatial"):
+            results.append(h.mean(axis=(1, 2)))
+            h = jnp.concatenate(results, axis=-1).astype(jnp.float32)
+            h = nn.Dense(2048, name="out_fc0")(h)
+            if self.pool == "spatial_v2":
+                h = nn.silu(GroupNorm32(num_groups=32, name="out_norm")(h[:, None, None, :]))[:, 0, 0]
+            else:
+                h = nn.relu(h)
+            return nn.Dense(self.out_channels, name="out_fc1")(h)
+        raise NotImplementedError(self.pool)

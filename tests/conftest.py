@@ -9,10 +9,15 @@ Must run before jax initializes its backends, hence env mutation at import.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# NB: the JAX_PLATFORMS env var is ignored when the axon TPU plugin is
+# present; the config knob is honored. Must run before backend init.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
