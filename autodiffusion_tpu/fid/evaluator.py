@@ -1,0 +1,94 @@
+"""FID evaluator: batched on-device activations -> reference-vs-sample FID.
+
+Equivalent of evaluations/evaluator_v1.py:249-280 (compute_activations over
+an in-memory uint8 NHWC array) and :730-753 (cal_fid), with the InceptionV3
+pass jitted on device (sharded across the mesh by the search layer) instead
+of a host TF1 session.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .inception import FIDInceptionV3, preprocess
+from .stats import (FeatureStats, FIDStats, accumulate_stats, finalize_stats,
+                    frechet_distance, inception_score)
+
+__all__ = ["FIDEvaluator", "make_inception_feature_fn"]
+
+
+def make_inception_feature_fn(params: dict, *, resize_to: int = 299) -> Callable:
+    """feature_fn(uint8 NHWC [B,H,W,3]) -> dict(pool3, spatial, logits)."""
+    model = FIDInceptionV3()
+
+    @jax.jit
+    def feature_fn(images_uint8):
+        return model.apply(params, preprocess(images_uint8, resize_to))
+
+    return feature_fn
+
+
+class FIDEvaluator:
+    """Computes FID (and optionally IS/sFID) of sample arrays against
+    precomputed reference statistics.
+
+    feature_fn: batched uint8 NHWC -> dict with at least "pool3"; any
+    extractor works (the real InceptionV3, or a cheap stub in tests —
+    the reference hard-wires TF InceptionV3, evaluator_v1.py:160-175).
+    """
+
+    def __init__(self, feature_fn: Callable, ref_stats: FIDStats,
+                 ref_stats_spatial: Optional[FIDStats] = None,
+                 batch_size: int = 100):
+        self.feature_fn = feature_fn
+        self.ref_stats = ref_stats
+        self.ref_stats_spatial = ref_stats_spatial
+        self.batch_size = batch_size
+
+    def compute_activations(self, arr_uint8: np.ndarray,
+                            want_softmax: bool = False):
+        """[N,H,W,3] uint8 -> (pool3 [N,2048], softmax [N,1008] or None)."""
+        n = arr_uint8.shape[0]
+        bs = self.batch_size
+        pools, smx = [], []
+        for i in range(0, n, bs):
+            batch = arr_uint8[i:i + bs]
+            pad = 0
+            if batch.shape[0] < bs:   # pad to keep one compiled shape
+                pad = bs - batch.shape[0]
+                batch = np.concatenate(
+                    [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
+            out = self.feature_fn(jnp.asarray(batch))
+            pool = np.asarray(out["pool3"])
+            pools.append(pool[:bs - pad] if pad else pool)
+            if want_softmax:
+                sm = np.asarray(jax.nn.softmax(out["logits"], axis=-1))
+                smx.append(sm[:bs - pad] if pad else sm)
+        pool3 = np.concatenate(pools)
+        return pool3, (np.concatenate(smx) if want_softmax else None)
+
+    def cal_fid(self, arr_uint8: np.ndarray) -> float:
+        """FID of a uint8 NHWC sample array vs the reference stats
+        (evaluator_v1.py:730-753)."""
+        pool3, _ = self.compute_activations(arr_uint8)
+        return frechet_distance(FIDStats.from_features(pool3), self.ref_stats)
+
+    def cal_metrics(self, arr_uint8: np.ndarray) -> dict:
+        """FID + Inception Score (offline evaluator parity, evaluator.py)."""
+        pool3, sm = self.compute_activations(arr_uint8, want_softmax=True)
+        return {
+            "fid": frechet_distance(FIDStats.from_features(pool3), self.ref_stats),
+            "inception_score": inception_score(sm),
+        }
+
+    @staticmethod
+    def stats_from_images(feature_fn: Callable, arr_uint8: np.ndarray,
+                          batch_size: int = 100) -> FIDStats:
+        """Precompute reference statistics from a real-image array."""
+        ev = FIDEvaluator(feature_fn, None, batch_size=batch_size)  # type: ignore
+        pool3, _ = ev.compute_activations(arr_uint8)
+        return FIDStats.from_features(pool3)

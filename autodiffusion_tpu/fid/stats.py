@@ -1,0 +1,116 @@
+"""FID statistics: on-device moments, host Frechet distance, Inception Score.
+
+Equivalent of evaluations/evaluator_v1.py:86-157 (FIDStatistics.
+frechet_distance with the eps-jitter and imaginary-clamp quirks) and :223-236
+(Inception Score), with the feature moments accumulated on device in float64-
+free form: mean and covariance via batched sums (the arrays are [N, 2048],
+small next to the model compute).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["FeatureStats", "FIDStats", "accumulate_stats", "finalize_stats",
+           "frechet_distance", "inception_score"]
+
+
+class FeatureStats(NamedTuple):
+    """Running sums for mean/cov of a feature stream (device-resident)."""
+
+    n: jnp.ndarray          # scalar count
+    s1: jnp.ndarray         # [D] sum of features
+    s2: jnp.ndarray         # [D, D] sum of outer products
+
+    @classmethod
+    def zeros(cls, dim: int, dtype=jnp.float32) -> "FeatureStats":
+        return cls(jnp.zeros((), dtype), jnp.zeros((dim,), dtype),
+                   jnp.zeros((dim, dim), dtype))
+
+
+class FIDStats(NamedTuple):
+    """Finalized reference statistics (host numpy)."""
+
+    mu: np.ndarray          # [D]
+    sigma: np.ndarray       # [D, D]
+
+    @classmethod
+    def from_features(cls, feats: np.ndarray) -> "FIDStats":
+        feats = np.asarray(feats, dtype=np.float64)
+        return cls(feats.mean(axis=0), np.cov(feats, rowvar=False))
+
+    def save(self, path: str) -> None:
+        np.savez(path, mu=self.mu, sigma=self.sigma)
+
+    @classmethod
+    def load(cls, path: str) -> "FIDStats":
+        with np.load(path) as z:
+            return cls(np.asarray(z["mu"]), np.asarray(z["sigma"]))
+
+
+def accumulate_stats(stats: FeatureStats, feats: jnp.ndarray) -> FeatureStats:
+    """Add a [B, D] batch of features (jit/psum friendly)."""
+    f32 = feats.astype(stats.s1.dtype)
+    return FeatureStats(
+        n=stats.n + feats.shape[0],
+        s1=stats.s1 + f32.sum(axis=0),
+        s2=stats.s2 + f32.T @ f32,
+    )
+
+
+def finalize_stats(stats: FeatureStats) -> FIDStats:
+    """Sums -> (mu, unbiased covariance), matching np.cov's N-1 denominator."""
+    n = float(np.asarray(stats.n))
+    s1 = np.asarray(stats.s1, dtype=np.float64)
+    s2 = np.asarray(stats.s2, dtype=np.float64)
+    mu = s1 / n
+    sigma = (s2 - n * np.outer(mu, mu)) / (n - 1)
+    return FIDStats(mu, sigma)
+
+
+def frechet_distance(s1: FIDStats, s2: FIDStats, eps: float = 1e-6) -> float:
+    """||mu1-mu2||^2 + Tr(S1 + S2 - 2 sqrt(S1 S2)).
+
+    Host scipy implementation with the reference's numerical guards
+    (evaluator_v1.py:109-157): jitter the diagonal when sqrtm produces
+    non-finite values; clamp small imaginary components.
+    """
+    import scipy.linalg
+
+    def _sqrtm(a):
+        out = scipy.linalg.sqrtm(a)
+        return out[0] if isinstance(out, tuple) else out  # scipy<1.18 compat
+
+    mu1, sigma1 = s1.mu, s1.sigma
+    mu2, sigma2 = s2.mu, s2.sigma
+    assert mu1.shape == mu2.shape and sigma1.shape == sigma2.shape
+
+    diff = mu1 - mu2
+    covmean = _sqrtm(sigma1.dot(sigma2))
+    if not np.isfinite(covmean).all():
+        warnings.warn(f"fid calculation produces singular product; adding {eps} "
+                      "to diagonal of cov estimates")
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = _sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m}")
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def inception_score(softmax_probs: np.ndarray, split_size: int = 5000) -> float:
+    """exp(E KL(p(y|x) || p(y))) over splits (evaluator_v1.py:223-236)."""
+    preds = np.asarray(softmax_probs, dtype=np.float64)
+    scores = []
+    for i in range(0, len(preds), split_size):
+        part = preds[i:i + split_size]
+        kl = part * (np.log(part + 1e-12) - np.log(part.mean(axis=0, keepdims=True) + 1e-12))
+        scores.append(np.exp(kl.sum(axis=1).mean()))
+    return float(np.mean(scores))

@@ -1,0 +1,120 @@
+"""FID stack: statistics math vs closed forms, inception architecture shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autodiffusion_tpu.fid import (FeatureStats, FIDEvaluator, FIDInceptionV3,
+                                   FIDStats, accumulate_stats, finalize_stats,
+                                   frechet_distance, inception_score, preprocess)
+
+
+class TestStats:
+    def test_accumulated_moments_match_numpy(self):
+        rng = np.random.RandomState(0)
+        feats = rng.randn(500, 16).astype(np.float32)
+        st = FeatureStats.zeros(16)
+        for i in range(0, 500, 100):
+            st = accumulate_stats(st, jnp.asarray(feats[i:i + 100]))
+        got = finalize_stats(st)
+        want = FIDStats.from_features(feats)
+        np.testing.assert_allclose(got.mu, want.mu, atol=1e-5)
+        np.testing.assert_allclose(got.sigma, want.sigma, atol=1e-4)
+
+    def test_frechet_identical_is_zero(self):
+        rng = np.random.RandomState(1)
+        s = FIDStats.from_features(rng.randn(300, 8))
+        assert abs(frechet_distance(s, s)) < 1e-6
+
+    def test_frechet_gaussian_closed_form(self):
+        # diagonal covariances: d^2 = |mu1-mu2|^2 + sum (sqrt(v1)-sqrt(v2))^2
+        mu1, mu2 = np.zeros(4), np.ones(4)
+        v1, v2 = np.full(4, 2.0), np.full(4, 0.5)
+        d = frechet_distance(FIDStats(mu1, np.diag(v1)), FIDStats(mu2, np.diag(v2)))
+        want = 4.0 + ((np.sqrt(v1) - np.sqrt(v2)) ** 2).sum()
+        np.testing.assert_allclose(d, want, rtol=1e-8)
+
+    def test_frechet_matches_reference_formula(self, reference_gd):
+        # FIDStatistics lives in evaluator_v1 which imports TF; replicate its
+        # math path via scipy directly instead (evaluator_v1.py:109-157).
+        import scipy.linalg
+        rng = np.random.RandomState(2)
+        a = rng.randn(400, 12); b = rng.randn(300, 12) * 1.3 + 0.2
+        sa, sb = FIDStats.from_features(a), FIDStats.from_features(b)
+        diff = sa.mu - sb.mu
+        covmean = scipy.linalg.sqrtm(sa.sigma.dot(sb.sigma))
+        covmean = covmean[0] if isinstance(covmean, tuple) else covmean
+        want = diff.dot(diff) + np.trace(sa.sigma) + np.trace(sb.sigma) \
+            - 2 * np.trace(covmean.real)
+        np.testing.assert_allclose(frechet_distance(sa, sb), want, rtol=1e-9)
+
+    def test_inception_score_uniform_is_one(self):
+        probs = np.full((100, 10), 0.1)
+        np.testing.assert_allclose(inception_score(probs), 1.0, rtol=1e-6)
+
+    def test_inception_score_peaked_is_nclasses(self):
+        # perfectly confident + uniform marginal -> IS = num classes
+        probs = np.eye(10)[np.arange(100) % 10] * (1 - 1e-9) + 1e-10
+        np.testing.assert_allclose(inception_score(probs), 10.0, rtol=1e-3)
+
+    def test_stats_roundtrip(self, tmp_path):
+        s = FIDStats.from_features(np.random.RandomState(3).randn(50, 4))
+        p = str(tmp_path / "ref.npz")
+        s.save(p)
+        s2 = FIDStats.load(p)
+        np.testing.assert_array_equal(s.mu, s2.mu)
+        np.testing.assert_array_equal(s.sigma, s2.sigma)
+
+
+class TestInceptionArch:
+    @pytest.fixture(scope="class")
+    def params(self):
+        model = FIDInceptionV3()
+        return model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
+
+    def test_output_shapes(self, params):
+        model = FIDInceptionV3()
+        out = model.apply(params, jnp.zeros((2, 299, 299, 3)))
+        assert out["pool3"].shape == (2, 2048)
+        assert out["spatial"].shape == (2, 17, 17, 7)
+        assert out["logits"].shape == (2, 1008)
+
+    def test_param_count_matches_inception_v3(self, params):
+        # torchvision InceptionV3 (1008-class, no aux) has ~23.9M params;
+        # folded BN keeps conv bias so count conv kernels + biases + fc
+        n = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
+        assert 23_000_000 < n < 26_000_000, n
+
+    def test_preprocess_range_and_resize(self):
+        img = (np.ones((1, 64, 64, 3)) * 255).astype(np.uint8)
+        out = preprocess(jnp.asarray(img))
+        assert out.shape == (1, 299, 299, 3)
+        np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+        img0 = np.zeros((1, 299, 299, 3), dtype=np.uint8)
+        np.testing.assert_allclose(np.asarray(preprocess(jnp.asarray(img0))),
+                                   -1.0, atol=1e-6)
+
+
+class TestEvaluator:
+    def test_fid_with_stub_features_discriminates(self):
+        """A cheap linear feature stub: FID(ref-like) << FID(shifted)."""
+        rng = np.random.RandomState(0)
+        proj = rng.randn(48, 8).astype(np.float32) * 0.02
+
+        def feature_fn(images_uint8):
+            x = images_uint8.astype(jnp.float32).reshape(images_uint8.shape[0], -1)
+            return {"pool3": x @ proj, "logits": jnp.zeros((x.shape[0], 4))}
+
+        ref_imgs = rng.randint(100, 156, (400, 4, 4, 3)).astype(np.uint8)
+        like = rng.randint(100, 156, (400, 4, 4, 3)).astype(np.uint8)
+        shifted = rng.randint(0, 50, (400, 4, 4, 3)).astype(np.uint8)
+
+        ref = FIDEvaluator.stats_from_images(feature_fn, ref_imgs, batch_size=128)
+        ev = FIDEvaluator(feature_fn, ref, batch_size=128)
+        fid_like = ev.cal_fid(like)
+        fid_shifted = ev.cal_fid(shifted)
+        assert fid_like < fid_shifted / 10
+        # ragged final batch (padding path) must not corrupt stats
+        fid_like_ragged = FIDEvaluator(feature_fn, ref, batch_size=137).cal_fid(like)
+        np.testing.assert_allclose(fid_like, fid_like_ragged, rtol=1e-3, atol=1e-4)
