@@ -1,0 +1,220 @@
+"""Search layer: spaces, EA driver with mock fitness, batched FID fitness."""
+
+import random as pyrandom
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autodiffusion_tpu.fid import FIDStats
+from autodiffusion_tpu.search import (BatchedFIDFitness, ContinuousTimeSpace,
+                                      EvolutionSearcher, JointSpace,
+                                      TimestepSpace, make_adm_fitness,
+                                      parse_joint_string,
+                                      parse_timestep_string,
+                                      progressive_skip_hook, to_uint8)
+
+
+class TestSpaces:
+    def test_timestep_random_properties(self):
+        sp = TimestepSpace(1000, 6, rng=pyrandom.Random(0))
+        for _ in range(20):
+            c = sp.random()
+            assert len(c) == 6 and len(set(c)) == 6
+            assert c == tuple(sorted(c))
+            assert all(0 <= t < 1000 for t in c)
+
+    def test_timestep_seed_is_ddim(self):
+        sp = TimestepSpace(1000, 4)
+        assert sp.seed() == (0, 250, 500, 750)
+
+    def test_mutation_keeps_k_distinct(self):
+        sp = TimestepSpace(1000, 6, rng=pyrandom.Random(1))
+        c = sp.random()
+        for _ in range(20):
+            m = sp.mutate(c, 0.5)
+            assert len(m) == 6 and len(set(m)) == 6
+
+    def test_mutation_prob_zero_is_identity(self):
+        sp = TimestepSpace(1000, 6, rng=pyrandom.Random(2))
+        c = sp.random()
+        assert sp.mutate(c, 0.0) == c
+
+    def test_crossover_genes_from_parents(self):
+        sp = TimestepSpace(1000, 4, rng=pyrandom.Random(3))
+        c1, c2 = (1, 2, 3, 4), (101, 102, 103, 104)
+        child = sp.crossover(c1, c2)
+        assert all(g in c1 + c2 for g in child)
+
+    def test_restricted_window(self):
+        win = TimestepSpace.restricted_window([100, 500], 1000, radius=2)
+        assert win == [98, 99, 100, 101, 102, 498, 499, 500, 501, 502]
+
+    def test_parse_compat_strings(self):
+        assert parse_timestep_string("[94, 834, 217]") == (94, 217, 834)
+        ts, sk = parse_joint_string(
+            "{'timesteps': [744, 137], 'skip_layers': [[3, 1], [2]]}")
+        assert ts == (137, 744)
+        assert sk == ((2,), (1, 3))   # aligned to sorted timesteps
+
+    def test_joint_budget_respected(self):
+        sp = JointSpace(1000, layer_num=10, max_index_number=35,
+                        skip_layer_range=(0.0, 0.3), rng=pyrandom.Random(0))
+        for _ in range(20):
+            c = sp.random()
+            assert sp.is_feasible(c), c
+            m = sp.mutate(c, 0.4)
+            assert sp.is_feasible(m), m
+            x = sp.crossover(c, m)
+            assert sp.is_feasible(x), x
+
+    def test_joint_zero_skip_range_is_pure_timestep_search(self):
+        sp = JointSpace(1000, layer_num=10, max_index_number=40,
+                        skip_layer_range=(0.0, 0.0), rng=pyrandom.Random(1))
+        c = sp.random()
+        assert all(s == () for s in c[1])
+        assert len(c[0]) == 4   # 40 budget / 10 layers
+
+    def test_continuous_space(self):
+        sp = ContinuousTimeSpace.uniform_grid(5, rng=pyrandom.Random(0))
+        c = sp.random()
+        assert len(c) == 5 and all(0 < t <= 1 for t in c)
+        m = sp.mutate(c, 0.5)
+        assert len(m) == 5 and len(set(m)) == 5
+
+
+class TestEvolution:
+    def _searcher(self, tmp_path=None, **kw):
+        target = np.array([10, 200, 400, 600, 800, 950])
+
+        def fitness(cands):
+            # mock fitness: smooth distance of each gene to its target
+            return [float(np.abs(np.sort(np.array(c)) - target).mean())
+                    for c in cands]
+
+        sp = TimestepSpace(1000, 6, rng=pyrandom.Random(0))
+        defaults = dict(population_num=20, select_num=5, mutation_num=8,
+                        crossover_num=6, m_prob=0.25, max_epochs=6,
+                        use_ddim_init_x=True)
+        defaults.update(kw)
+        return EvolutionSearcher(
+            sp, fitness,
+            checkpoint_path=str(tmp_path / "ea.json") if tmp_path else None,
+            **defaults), target
+
+    def test_search_improves_over_random(self):
+        searcher, target = self._searcher()
+        best, fid = searcher.search()
+        # random 6-subsets average ~130 mean gene distance; EA should descend
+        assert fid < 60, (best, fid)
+        assert len(searcher.vis_dict) > 50
+
+    def test_population_evaluated_once(self):
+        calls = []
+
+        def fitness(cands):
+            calls.extend(cands)
+            return [float(sum(c)) for c in cands]
+
+        sp = TimestepSpace(1000, 4, rng=pyrandom.Random(1))
+        s = EvolutionSearcher(sp, fitness, population_num=10, select_num=3,
+                              mutation_num=4, crossover_num=3, max_epochs=3)
+        s.search()
+        assert len(calls) == len(set(calls)), "memoization failed: re-evaluated"
+
+    def test_checkpoint_resume(self, tmp_path):
+        s1, _ = self._searcher(tmp_path, max_epochs=2)
+        s1.search()
+        s2, _ = self._searcher(tmp_path, max_epochs=4)
+        s2.load()
+        assert s2.epoch == 2
+        assert s2.vis_dict == s1.vis_dict
+        best, fid = s2.search()
+        assert s2.epoch == 4
+
+    def test_progressive_hook_widens(self):
+        sp = JointSpace(1000, layer_num=10, max_index_number=40,
+                        skip_layer_range=(0.0, 0.0), rng=pyrandom.Random(0))
+
+        def fitness(cands):
+            return [1.0 for _ in cands]   # constant -> stalls immediately
+
+        s = EvolutionSearcher(sp, fitness, population_num=8, select_num=3,
+                              mutation_num=3, crossover_num=2, max_epochs=5,
+                              use_ddim_init_x=True,
+                              on_epoch_start=progressive_skip_hook(max_prun=0.5))
+        s.search()
+        assert sp.skip_layer_range[1] > 0.0
+
+
+class TestBatchedFitness:
+    def _fitness(self, **kw):
+        """Stub pipeline: 'sampling' = deterministic images keyed by the
+        candidate's first table value; features = flattened pixels."""
+
+        def payload_fn(cand):
+            return {"v": jnp.asarray(float(cand[0]))}
+
+        def sample_fn(payload, rng):
+            base = payload["v"] / 1000.0 * 2 - 1
+            img = jnp.full((16, 4, 4, 3), base)
+            return to_uint8(img + 0.01 * jax.random.normal(rng, img.shape))
+
+        def feature_fn(imgs):
+            x = imgs.astype(jnp.float32).reshape(imgs.shape[0], -1)
+            return {"pool3": x[:, :8]}
+
+        ref_imgs = to_uint8(jnp.full((64, 4, 4, 3), 0.0)
+                            + 0.01 * jax.random.normal(jax.random.key(9), (64, 4, 4, 3)))
+        feats = np.asarray(feature_fn(ref_imgs)["pool3"])
+        ref = FIDStats.from_features(feats)
+        defaults = dict(payload_fn=payload_fn, sample_fn=sample_fn,
+                        feature_fn=feature_fn, ref_stats=ref, num_samples=64,
+                        batch_size=16, candidate_chunk=3, feature_dim=8)
+        defaults.update(kw)
+        return BatchedFIDFitness(**defaults)
+
+    def test_ranks_by_distance_to_reference(self):
+        f = self._fitness()
+        cands = [(500, 600), (450, 800), (990, 995)]   # ref is ~500
+        fids = f(cands)
+        assert fids[0] < fids[2] and fids[1] < fids[2]
+
+    def test_chunking_matches_individual(self):
+        f = self._fitness(candidate_chunk=4, seed=3)
+        cands = [(100, 1), (400, 2), (700, 3), (900, 4), (300, 5)]
+        batch = f(cands)
+        g = self._fitness(candidate_chunk=1, seed=3)
+        single = [g([c])[0] for c in cands]
+        np.testing.assert_allclose(batch, single, rtol=2e-2)
+
+
+class TestEndToEndTinySearch:
+    def test_adm_pipeline_runs(self):
+        """Tiny UNet + pixel-stub features: full EA loop end to end."""
+        from autodiffusion_tpu.models import UNetModel
+        m = UNetModel(model_channels=32, out_channels=6, num_res_blocks=1,
+                      attention_ds=(2,), channel_mult=(1, 2), num_head_channels=32,
+                      num_classes=10)
+        x = jnp.zeros((2, 8, 8, 3))
+        params = m.init(jax.random.key(0), x, jnp.array([0.0, 1.0]),
+                        jnp.array([0, 1]))
+
+        def feature_fn(imgs):
+            x = imgs.astype(jnp.float32).reshape(imgs.shape[0], -1)
+            return {"pool3": x[:, :16]}
+
+        rng = np.random.RandomState(0)
+        ref = FIDStats.from_features(rng.randn(100, 16) * 40 + 127)
+
+        fitness = make_adm_fitness(
+            model=m, params=params, image_size=8, feature_fn=feature_fn,
+            ref_stats=ref, num_samples=8, batch_size=4, num_classes=10,
+            base_schedule="cosine", candidate_chunk=2, seed=0, feature_dim=16)
+        sp = TimestepSpace(1000, 4, rng=pyrandom.Random(0))
+        s = EvolutionSearcher(sp, fitness, population_num=4, select_num=2,
+                              mutation_num=1, crossover_num=1, max_epochs=1)
+        best, fid = s.search()
+        assert np.isfinite(fid)
+        assert len(best) == 4
