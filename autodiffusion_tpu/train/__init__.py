@@ -1,0 +1,14 @@
+"""Training: losses, timestep samplers, train state/step, loops."""
+
+from .losses import (LossType, discretized_gaussian_log_likelihood, normal_kl,
+                     training_losses, vb_terms_bpd)
+from .resample import (LossSecondMomentResampler, UniformSampler,
+                       create_named_schedule_sampler)
+from .state import TrainState, create_train_state, make_train_step
+
+__all__ = [
+    "LossType", "discretized_gaussian_log_likelihood", "normal_kl",
+    "training_losses", "vb_terms_bpd", "LossSecondMomentResampler",
+    "UniformSampler", "create_named_schedule_sampler", "TrainState",
+    "create_train_state", "make_train_step",
+]

@@ -1,0 +1,144 @@
+"""Train state and the jitted train step (optax AdamW + EMA, bf16-native).
+
+Replaces guided_diffusion/train_util.py:100-275 and fp16_util.py: DDP
+wrapping becomes mesh sharding; fp16 master-params/dynamic loss scaling are
+unnecessary under bfloat16 (params fp32, compute bf16); EMA update is
+update_ema (nn.py:55-65) as an optax-style tree op. Microbatch gradient
+accumulation (train_util.py:194-234 no_sync) is a lax.scan over microbatch
+slices inside one jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..samplers.diffusion import ModelMeanType, ModelVarType
+from ..schedules import ScheduleTables
+from .losses import LossType, training_losses
+
+__all__ = ["TrainState", "create_train_state", "make_train_step"]
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Tuple[Any, ...]          # one tree per EMA rate
+    ema_rates: Tuple[float, ...] = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
+        params = optax.apply_updates(self.params, updates)
+        ema = tuple(
+            jax.tree_util.tree_map(
+                lambda e, p, r=rate: e * r + p * (1 - r), etree, params)
+            for rate, etree in zip(self.ema_rates, self.ema_params))
+        return self.replace(step=self.step + 1, params=params,
+                            opt_state=opt_state, ema_params=ema)
+
+
+def create_train_state(params, *, lr: float = 1e-4, weight_decay: float = 0.0,
+                       ema_rates: Sequence[float] = (0.9999,),
+                       grad_clip: Optional[float] = None,
+                       lr_anneal_steps: int = 0) -> TrainState:
+    """AdamW matching train_util.py's opt config, with optional linear lr
+    anneal (train_util.py:288-295) and grad clipping."""
+    sched = (optax.linear_schedule(lr, 0.0, lr_anneal_steps)
+             if lr_anneal_steps else lr)
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.adamw(sched, weight_decay=weight_decay))
+    tx = optax.chain(*chain)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params),
+        ema_params=tuple(jax.tree_util.tree_map(lambda x: x, params)
+                         for _ in ema_rates),
+        ema_rates=tuple(ema_rates), tx=tx)
+
+
+def make_train_step(model_apply: Callable, *,
+                    mean_type: ModelMeanType = ModelMeanType.EPSILON,
+                    var_type: ModelVarType = ModelVarType.LEARNED_RANGE,
+                    loss_type: str = LossType.MSE,
+                    microbatches: int = 1,
+                    class_cond: bool = False,
+                    data_sharder: Optional[Callable] = None) -> Callable:
+    """Build the jitted train step.
+
+    step(state, tables, batch, t, loss_weights, rng) ->
+        (state, metrics dict incl. per-example losses for the loss-aware
+         t-sampler)
+
+    batch: {"x": [B,H,W,C], optional "y": [B]}; B = microbatches * micro.
+    Gradients are averaged over microbatches by a lax.scan (the no_sync
+    accumulation of train_util.py:213-217); data-parallel reduction is
+    implicit in jit once the batch carries a 'data' sharding.
+    """
+
+    def loss_fn(params, tables, x, y, t, w, rng):
+        def model_fn(x_t, t_orig):
+            if class_cond:
+                return model_apply(params, x_t, t_orig, y)
+            return model_apply(params, x_t, t_orig)
+
+        terms = training_losses(tables, model_fn, x, t, rng,
+                                mean_type=mean_type, var_type=var_type,
+                                loss_type=loss_type)
+        loss = (terms["loss"] * w).mean()
+        return loss, terms
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(state: TrainState, tables: ScheduleTables, batch: Dict,
+             t: jnp.ndarray, loss_weights: jnp.ndarray, rng) -> Tuple[TrainState, Dict]:
+        x = batch["x"]
+        y = batch.get("y")
+        if data_sharder is not None:
+            x = data_sharder(x)
+        b = x.shape[0]
+        micro = b // microbatches
+
+        def resh(a):
+            return None if a is None else a.reshape((microbatches, micro) + a.shape[1:])
+
+        xs = (resh(x), resh(y), resh(t), resh(loss_weights),
+              jax.random.split(rng, microbatches))
+
+        def micro_step(carry, inp):
+            xi, yi, ti, wi, ri = inp
+            (loss, terms), grads = grad_fn(state.params, tables, xi, yi, ti, wi, ri)
+            acc = jax.tree_util.tree_map(jnp.add, carry, grads)
+            return acc, (loss, terms)
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        if microbatches == 1:
+            (loss, terms), grads = grad_fn(state.params, tables, x, y, t,
+                                           loss_weights, rng)
+            losses, all_terms = loss[None], jax.tree_util.tree_map(
+                lambda a: a[None], terms)
+        else:
+            grads, (losses, all_terms) = jax.lax.scan(micro_step, zero, xs)
+            grads = jax.tree_util.tree_map(lambda g: g / microbatches, grads)
+
+        new_state = state.apply_gradients(grads)
+        grad_norm = optax.global_norm(grads)
+        metrics = {
+            "loss": losses.mean(),
+            "grad_norm": grad_norm,
+            "per_example_loss": all_terms["loss"].reshape(-1),
+        }
+        for k in ("mse", "vb"):
+            if k in all_terms:
+                metrics[k] = all_terms[k].mean()
+        return new_state, metrics
+
+    return step
