@@ -25,7 +25,8 @@ from flax import struct
 from .beta import make_beta_schedule
 from .respace import respaced_betas, space_timesteps
 
-__all__ = ["ScheduleTables", "build_tables", "build_base_tables", "stack_tables"]
+__all__ = ["ScheduleTables", "build_tables", "build_base_tables",
+           "build_sd_tables", "stack_tables"]
 
 
 @struct.dataclass
@@ -136,6 +137,60 @@ def _to_tables(betas: np.ndarray, timestep_map: Sequence[int], base_T: int,
     d = _derive(np.asarray(betas, dtype=np.float64))
     tmap = np.asarray(timestep_map, dtype=np.int32)
     cont = (tmap.astype(np.float64) + 1.0) / float(base_T)
+    return ScheduleTables(
+        timestep_map=jnp.asarray(tmap),
+        continuous_times=jnp.asarray(cont, dtype=dtype),
+        **{k: jnp.asarray(v, dtype=dtype) for k, v in d.items()},
+    )
+
+
+def build_sd_tables(use_timesteps: Iterable[int], *,
+                    base_schedule: str = "sqrt_linear",
+                    base_num_steps: int = 1000,
+                    linear_start: float = 0.00085,
+                    linear_end: float = 0.012,
+                    base_betas: Optional[np.ndarray] = None,
+                    dtype=jnp.float32) -> ScheduleTables:
+    """Tables with CompVis DDIM/PLMS semantics
+    (ldm/modules/diffusionmodules/util.py:64-76 make_ddim_sampling_parameters).
+
+    Differs from :func:`build_tables` in one quirk: alphas_cumprod_prev[0] is
+    alpha_bar[0] of the *base* process (not 1.0), matching
+    ``alphas_prev = [alphacums[0]] + alphacums[steps[:-1]]``. Note CompVis's
+    "linear" schedule is sqrt-space linear (ddpm.py register_schedule), i.e.
+    ``sqrt_linear`` here.
+    """
+    if base_betas is None:
+        base_betas = make_beta_schedule(base_schedule, base_num_steps,
+                                        linear_start=linear_start,
+                                        linear_end=linear_end)
+    base_betas = np.asarray(base_betas, dtype=np.float64)
+    T = len(base_betas)
+    steps = sorted(set(int(t) for t in use_timesteps))
+    if not steps:
+        raise ValueError("use_timesteps must be non-empty")
+    if steps[0] < 0 or steps[-1] >= T:
+        raise ValueError(f"timesteps must lie in [0, {T})")
+    abar = np.cumprod(1.0 - base_betas)
+    a = abar[steps]
+    a_prev = np.concatenate([[abar[0]], a[:-1]])
+    # synthesize per-step betas consistent with (a, a_prev) and reuse the
+    # generic derivation; then overwrite the cumulative-product fields with
+    # the exact CompVis arrays
+    betas_k = 1.0 - a / a_prev
+    d = _derive(betas_k)
+    d.update(
+        alphas_cumprod=a,
+        alphas_cumprod_prev=a_prev,
+        alphas_cumprod_next=np.append(a[1:], 0.0),
+        sqrt_alphas_cumprod=np.sqrt(a),
+        sqrt_one_minus_alphas_cumprod=np.sqrt(1.0 - a),
+        log_one_minus_alphas_cumprod=np.log(1.0 - a),
+        sqrt_recip_alphas_cumprod=np.sqrt(1.0 / a),
+        sqrt_recipm1_alphas_cumprod=np.sqrt(1.0 / a - 1.0),
+    )
+    tmap = np.asarray(steps, dtype=np.int32)
+    cont = (tmap.astype(np.float64) + 1.0) / float(T)
     return ScheduleTables(
         timestep_map=jnp.asarray(tmap),
         continuous_times=jnp.asarray(cont, dtype=dtype),
