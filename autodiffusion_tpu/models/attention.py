@@ -1,0 +1,117 @@
+"""Cross-attention transformer blocks for the SD UNet (NHWC).
+
+Re-design of ldm/modules/attention.py:37-260: CrossAttention (self or
+cross via optional context), GEGLU feed-forward, BasicTransformerBlock
+(self-attn -> cross-attn -> FF, each with pre-LayerNorm and residual), and
+SpatialTransformer (1x1 conv in/out around a token-space transformer).
+Attention softmax runs in float32 under bf16 compute.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .nn import GroupNorm32, zero_init
+
+Dtype = Any
+
+
+class CrossAttention(nn.Module):
+    """softmax(q k^T / sqrt(d)) v with heads; context=None -> self-attention
+    (attention.py:152-195). Projections q/k/v have no bias, out has bias."""
+
+    heads: int = 8
+    dim_head: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+        q = nn.DenseGeneral(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.DenseGeneral(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.DenseGeneral(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        b, tq, _ = q.shape
+        ts = k.shape[1]
+        q = q.reshape(b, tq, self.heads, self.dim_head)
+        k = k.reshape(b, ts, self.heads, self.dim_head)
+        v = v.reshape(b, ts, self.heads, self.dim_head)
+        scale = self.dim_head ** -0.5
+        logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) * scale
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(b, tq, inner)
+        return nn.DenseGeneral(x.shape[-1], dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.DenseGeneral(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward, mult=4 (attention.py:50-65)."""
+
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        h = GEGLU(dim * self.mult, dtype=self.dtype, name="geglu")(x)
+        return nn.DenseGeneral(dim, dtype=self.dtype, name="out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn -> cross-attn -> FF with pre-LN residuals
+    (attention.py:196-217)."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype,
+                               name="attn1")(ln("norm1")(x).astype(x.dtype))
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype,
+                               name="attn2")(ln("norm2")(x).astype(x.dtype), context)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(
+            ln("norm3")(x).astype(x.dtype))
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GroupNorm -> 1x1 proj_in -> transformer over (h w) tokens -> zero-init
+    1x1 proj_out + residual (attention.py:218-260)."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        b, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        residual = x
+        x = GroupNorm32(name="norm")(x)
+        x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, inner)
+        for d in range(self.depth):
+            x = BasicTransformerBlock(self.heads, self.dim_head, self.dtype,
+                                      name=f"block_{d}")(x, context)
+        x = x.reshape(b, h, w, inner)
+        x = nn.Conv(c, (1, 1), kernel_init=zero_init, dtype=self.dtype,
+                    name="proj_out")(x)
+        return x + residual

@@ -1,0 +1,197 @@
+"""AutoencoderKL (the SD first-stage VAE) in flax NHWC.
+
+Re-design of ldm/models/autoencoder.py:285-443 and
+ldm/modules/diffusionmodules/model.py:368-570: Encoder -> diagonal Gaussian
+moments, Decoder, with the CompVis quirks kept — GroupNorm eps 1e-6, swish
+nonlinearity, asymmetric (0,1,0,1) padding on the stride-2 downsample conv,
+single-head conv-projection attention blocks, quant/post_quant 1x1 convs,
+and the 0.18215 latent scale factor applied by the caller
+(v1-inference.yaml:17).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+SD_SCALE_FACTOR = 0.18215
+
+
+class VAEGroupNorm(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        dt = x.dtype
+        return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
+                            param_dtype=jnp.float32, name="gn")(
+            x.astype(jnp.float32)).astype(dt)
+
+
+class VAEResnetBlock(nn.Module):
+    out_channels: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_out = self.out_channels or x.shape[-1]
+        h = nn.silu(VAEGroupNorm(name="norm1")(x))
+        h = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = nn.silu(VAEGroupNorm(name="norm2")(h))
+        h = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if c_out != x.shape[-1]:
+            x = nn.Conv(c_out, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+        return x + h
+
+
+class VAEAttnBlock(nn.Module):
+    """Single-head spatial attention with 1x1-conv projections
+    (model.py:141-184)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        h = VAEGroupNorm(name="norm")(x)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h).reshape(b, hh * ww, c)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h).reshape(b, hh * ww, c)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h).reshape(b, hh * ww, c)
+        w = jnp.einsum("btc,bsc->bts", q, k).astype(jnp.float32) * (c ** -0.5)
+        w = jax.nn.softmax(w, axis=-1).astype(v.dtype)
+        h = jnp.einsum("bts,bsc->btc", w, v).reshape(b, hh, ww, c)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return x + h
+
+
+class VAEDownsample(nn.Module):
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # torch pads (0,1,0,1) then conv stride 2 pad 0 (model.py:110-118)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding=0,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class VAEUpsample(nn.Module):
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class Encoder(nn.Module):
+    ch: int = 128
+    ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_at_ds: Tuple[int, ...] = ()      # downsample ratios with attention
+    z_channels: int = 4
+    double_z: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_in")(x.astype(self.dtype))
+        ds = 1
+        for level, mult in enumerate(self.ch_mult):
+            for i in range(self.num_res_blocks):
+                h = VAEResnetBlock(self.ch * mult, dtype=self.dtype,
+                                   name=f"down_{level}_block_{i}")(h)
+                if ds in self.attn_at_ds:
+                    h = VAEAttnBlock(dtype=self.dtype,
+                                     name=f"down_{level}_attn_{i}")(h)
+            if level != len(self.ch_mult) - 1:
+                h = VAEDownsample(dtype=self.dtype, name=f"down_{level}_ds")(h)
+                ds *= 2
+        h = VAEResnetBlock(dtype=self.dtype, name="mid_block_1")(h)
+        h = VAEAttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
+        h = VAEResnetBlock(dtype=self.dtype, name="mid_block_2")(h)
+        h = nn.silu(VAEGroupNorm(name="norm_out")(h))
+        out_ch = 2 * self.z_channels if self.double_z else self.z_channels
+        return nn.Conv(out_ch, (3, 3), padding=1, dtype=jnp.float32,
+                       param_dtype=jnp.float32, name="conv_out")(
+            h.astype(jnp.float32))
+
+
+class Decoder(nn.Module):
+    ch: int = 128
+    out_ch: int = 3
+    ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_at_ds: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        block_in = self.ch * self.ch_mult[-1]
+        h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_in")(z.astype(self.dtype))
+        h = VAEResnetBlock(dtype=self.dtype, name="mid_block_1")(h)
+        h = VAEAttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
+        h = VAEResnetBlock(dtype=self.dtype, name="mid_block_2")(h)
+        ds = 2 ** (len(self.ch_mult) - 1)
+        for level, mult in list(enumerate(self.ch_mult))[::-1]:
+            for i in range(self.num_res_blocks + 1):
+                h = VAEResnetBlock(self.ch * mult, dtype=self.dtype,
+                                   name=f"up_{level}_block_{i}")(h)
+                if ds in self.attn_at_ds:
+                    h = VAEAttnBlock(dtype=self.dtype,
+                                     name=f"up_{level}_attn_{i}")(h)
+            if level != 0:
+                h = VAEUpsample(dtype=self.dtype, name=f"up_{level}_us")(h)
+                ds //= 2
+        h = nn.silu(VAEGroupNorm(name="norm_out")(h))
+        return nn.Conv(self.out_ch, (3, 3), padding=1, dtype=jnp.float32,
+                       param_dtype=jnp.float32, name="conv_out")(
+            h.astype(jnp.float32))
+
+
+class AutoencoderKL(nn.Module):
+    """encode -> (mean, logvar); decode(z * 1/scale handled by caller)."""
+
+    ch: int = 128
+    out_ch: int = 3
+    ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_at_ds: Tuple[int, ...] = ()
+    z_channels: int = 4
+    embed_dim: int = 4
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(ch=self.ch, ch_mult=self.ch_mult,
+                               num_res_blocks=self.num_res_blocks,
+                               attn_at_ds=self.attn_at_ds,
+                               z_channels=self.z_channels, dtype=self.dtype)
+        self.decoder = Decoder(ch=self.ch, out_ch=self.out_ch,
+                               ch_mult=self.ch_mult,
+                               num_res_blocks=self.num_res_blocks,
+                               attn_at_ds=self.attn_at_ds, dtype=self.dtype)
+        self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1), name="quant_conv")
+        self.post_quant_conv = nn.Conv(self.z_channels, (1, 1),
+                                       name="post_quant_conv")
+
+    def encode(self, x):
+        moments = self.quant_conv(self.encoder(x))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def decode(self, z):
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, x, rng=None, sample_posterior: bool = False):
+        mean, logvar = self.encode(x)
+        if sample_posterior:
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape)
+        else:
+            z = mean
+        return self.decode(z), mean, logvar
