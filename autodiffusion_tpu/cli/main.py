@@ -1,0 +1,293 @@
+"""``adt`` — the AutoDiffusion-TPU command line.
+
+Subcommands covering the reference's entry points (SURVEY.md section 1 L7):
+  search       evolutionary timestep (or joint timestep+arch) search, ADM
+               models (search_imagenet64_classifier_guidance.py /
+               search_uncondition_model.py / ..._progressive.py)
+  search-sd    Stable Diffusion latent search (sd/scripts/search_ea.py)
+  sample       sample with a searched schedule, save samples npz
+               (scripts/classifier_sample.py and prunedUNET variants)
+  evaluate     offline FID/IS of a sample npz vs reference stats
+               (evaluations/evaluator.py)
+  ref-stats    precompute FID reference statistics from an image npz/folder
+  convert      torch .pt/.ckpt checkpoint -> flax msgpack
+  train        train/fine-tune (train_util.py TrainLoop + OFA variants)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from ..utils import logger
+from ..utils.config import add_dict_to_argparser, str2bool
+
+
+def _search_defaults():
+    # search_imagenet64_classifier_guidance.py:600-618 + model flags
+    return dict(
+        model_path="", classifier_path="", ref_stats="", save_dir="",
+        classifier_scale=1.0, use_ddim=True, time_step=4,
+        num_samples=5000, batch_size=100, max_epochs=10, select_num=10,
+        population_num=50, m_prob=0.25, crossover_num=15, mutation_num=25,
+        use_ddim_init_x=True, seed=0, candidate_chunk=4,
+        use_dynamic_unet=False, index_step=0, max_prun=0.1, min_prun=0.0,
+        init_timesteps="", inception_path="", class_cond=True,
+        image_size=64, num_channels=192, num_res_blocks=3,
+        num_head_channels=64, attention_resolutions="32,16,8",
+        learn_sigma=True, noise_schedule="cosine", use_scale_shift_norm=True,
+        resblock_updown=True, use_new_attention_order=True, use_bf16=True,
+        dropout=0.0, channel_mult="",
+    )
+
+
+def cmd_search(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    from ..fid import FIDStats, load_fid_inception_params, make_inception_feature_fn
+    from ..models import (ClassifierConfig, ModelConfig, create_classifier,
+                          create_model)
+    from ..models.convert import (convert_classifier, convert_unet,
+                                  load_torch_state_dict)
+    from ..search import (EvolutionSearcher, JointSpace, TimestepSpace,
+                          make_adm_fitness, progressive_skip_hook)
+
+    logger.configure(args.save_dir or None)
+    cfg = ModelConfig(
+        image_size=args.image_size, num_channels=args.num_channels,
+        num_res_blocks=args.num_res_blocks,
+        num_head_channels=args.num_head_channels,
+        attention_resolutions=args.attention_resolutions,
+        channel_mult=args.channel_mult, class_cond=args.class_cond,
+        learn_sigma=args.learn_sigma, noise_schedule=args.noise_schedule,
+        use_scale_shift_norm=args.use_scale_shift_norm,
+        resblock_updown=args.resblock_updown,
+        use_new_attention_order=args.use_new_attention_order,
+        use_bf16=args.use_bf16, dropout=args.dropout)
+    model = create_model(cfg)
+    params = convert_unet(load_torch_state_dict(args.model_path), model)
+
+    classifier = cparams = None
+    if args.classifier_path:
+        ccfg = ClassifierConfig.adm64(image_size=args.image_size)
+        classifier = create_classifier(ccfg)
+        cparams = convert_classifier(
+            load_torch_state_dict(args.classifier_path), classifier)
+
+    feature_fn = make_inception_feature_fn(
+        load_fid_inception_params(args.inception_path))
+    ref = FIDStats.load(args.ref_stats)
+
+    joint = bool(args.use_dynamic_unet)
+    fitness = make_adm_fitness(
+        model=model, params=params, image_size=cfg.image_size,
+        feature_fn=feature_fn, ref_stats=ref, num_samples=args.num_samples,
+        batch_size=args.batch_size, base_schedule=cfg.noise_schedule,
+        classifier=classifier, classifier_params=cparams,
+        classifier_scale=args.classifier_scale,
+        num_classes=1000 if cfg.class_cond else None,
+        use_ddim=args.use_ddim, joint=joint,
+        candidate_chunk=args.candidate_chunk, seed=args.seed)
+
+    hook = None
+    if joint:
+        space = JointSpace(cfg.diffusion_steps, model.layer_num,
+                           args.index_step, (0.0, 0.0))
+        hook = progressive_skip_hook(args.max_prun, args.min_prun)
+    else:
+        search_space = None
+        if args.init_timesteps:
+            from ..search import parse_timestep_string
+            search_space = TimestepSpace.restricted_window(
+                parse_timestep_string(args.init_timesteps), cfg.diffusion_steps)
+        space = TimestepSpace(cfg.diffusion_steps, args.time_step,
+                              search_space=search_space)
+    searcher = EvolutionSearcher(
+        space, fitness, population_num=args.population_num,
+        select_num=args.select_num, mutation_num=args.mutation_num,
+        crossover_num=args.crossover_num, m_prob=args.m_prob,
+        max_epochs=args.max_epochs, use_ddim_init_x=args.use_ddim_init_x,
+        use_ddim=args.use_ddim,
+        checkpoint_path=(f"{args.save_dir}/ea_state.json"
+                         if args.save_dir else None),
+        on_epoch_start=hook)
+    import time
+    t0 = time.time()
+    best, fid = searcher.search()
+    logger.log(f"total searching time = {(time.time() - t0) / 3600:.2f} hours")
+    print(json.dumps({"best": list(best) if not joint else
+                      {"timesteps": list(best[0]),
+                       "skip_layers": [list(s) for s in best[1]]},
+                      "fid": fid}))
+    return 0
+
+
+def cmd_sample(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    from ..models import (ClassifierConfig, ModelConfig, create_classifier,
+                          create_model, create_tables)
+    from ..models.convert import (convert_classifier, convert_unet,
+                                  load_torch_state_dict)
+    from ..samplers import classifier_cond_fn, ddim_sample_loop, p_sample_loop
+    from ..search import parse_timestep_string
+    from ..search.pipelines import keep_masks_for
+    from ..search.fitness import to_uint8
+
+    cfg = ModelConfig(
+        image_size=args.image_size, num_channels=args.num_channels,
+        num_res_blocks=args.num_res_blocks,
+        num_head_channels=args.num_head_channels,
+        attention_resolutions=args.attention_resolutions,
+        channel_mult=args.channel_mult, class_cond=args.class_cond,
+        learn_sigma=args.learn_sigma, noise_schedule=args.noise_schedule,
+        use_scale_shift_norm=args.use_scale_shift_norm,
+        resblock_updown=args.resblock_updown,
+        use_new_attention_order=args.use_new_attention_order,
+        use_bf16=args.use_bf16)
+    model = create_model(cfg)
+    params = convert_unet(load_torch_state_dict(args.model_path), model)
+    use_ts = parse_timestep_string(args.use_timestep) if args.use_timestep else None
+    tables = create_tables(cfg, use_ts)
+
+    keep = None
+    if args.skip_layers:
+        import ast
+        skips = ast.literal_eval(args.skip_layers)
+        keep = jnp.asarray(keep_masks_for(skips, model.layer_num))
+
+    cond = None
+    if args.classifier_path:
+        ccfg = ClassifierConfig.adm64(image_size=args.image_size)
+        classifier = create_classifier(ccfg)
+        cparams = convert_classifier(
+            load_torch_state_dict(args.classifier_path), classifier)
+
+    all_imgs, all_labels = [], []
+    rng = jax.random.key(args.seed)
+    n_done = 0
+    while n_done < args.num_samples:
+        rng, step_rng, label_rng = jax.random.split(rng, 3)
+        y = (jax.random.randint(label_rng, (args.batch_size,), 0, 1000)
+             if cfg.class_cond else None)
+
+        def model_fn(x, t, i):
+            kw = {"keep_mask": keep[i]} if keep is not None else {}
+            return (model.apply(params, x, t, y, **kw) if y is not None
+                    else model.apply(params, x, t, **kw))
+
+        cond_fn = None
+        if args.classifier_path:
+            cond_fn = classifier_cond_fn(
+                lambda x, t: classifier.apply(cparams, x, t), y,
+                args.classifier_scale)
+        loop = ddim_sample_loop if args.use_ddim else p_sample_loop
+        x0 = loop(model_fn, (args.batch_size, cfg.image_size, cfg.image_size, 3),
+                  tables, rng=step_rng, cond_fn=cond_fn)
+        all_imgs.append(np.asarray(to_uint8(x0)))
+        if y is not None:
+            all_labels.append(np.asarray(y))
+        n_done += args.batch_size
+        logger.log(f"created {n_done} samples")
+
+    arr = np.concatenate(all_imgs)[: args.num_samples]
+    out = args.out or f"samples_{arr.shape[0]}x{arr.shape[1]}x{arr.shape[2]}x3.npz"
+    if all_labels:
+        labels = np.concatenate(all_labels)[: args.num_samples]
+        np.savez(out, arr_0=arr, arr_1=labels)
+    else:
+        np.savez(out, arr_0=arr)
+    logger.log(f"saved to {out}")
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from ..fid import (FIDEvaluator, FIDStats, load_fid_inception_params,
+                       make_inception_feature_fn)
+
+    feature_fn = make_inception_feature_fn(
+        load_fid_inception_params(args.inception_path))
+    with np.load(args.sample_batch) as z:
+        arr = z[z.files[0]]
+    if args.ref_stats.endswith(".npz") and "mu" in np.load(args.ref_stats):
+        ref = FIDStats.load(args.ref_stats)
+    else:
+        with np.load(args.ref_stats) as z:
+            ref_arr = z[z.files[0]]
+        ref = FIDEvaluator.stats_from_images(feature_fn, ref_arr,
+                                             args.batch_size)
+    ev = FIDEvaluator(feature_fn, ref, batch_size=args.batch_size)
+    metrics = ev.cal_metrics(arr)
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_ref_stats(args) -> int:
+    from ..fid import FIDEvaluator, load_fid_inception_params, make_inception_feature_fn
+
+    feature_fn = make_inception_feature_fn(
+        load_fid_inception_params(args.inception_path))
+    with np.load(args.images) as z:
+        arr = z[z.files[0]]
+    stats = FIDEvaluator.stats_from_images(feature_fn, arr, args.batch_size)
+    stats.save(args.out)
+    print(f"saved reference stats for {arr.shape[0]} images to {args.out}")
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from ..models import ModelConfig, create_model
+    from ..models.convert import convert_unet, load_torch_state_dict
+    from ..utils.checkpoint import save_tree
+
+    cfg = ModelConfig.adm64() if args.preset == "adm64" else ModelConfig()
+    model = create_model(cfg)
+    params = convert_unet(load_torch_state_dict(args.torch_path), model)
+    save_tree(args.out, params)
+    print(f"converted {args.torch_path} -> {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="adt")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("search", help="evolutionary ADM search")
+    add_dict_to_argparser(p, _search_defaults())
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("sample", help="sample with a searched schedule")
+    add_dict_to_argparser(p, dict(
+        model_path="", classifier_path="", classifier_scale=1.0,
+        use_timestep="", skip_layers="", use_ddim=True, num_samples=100,
+        batch_size=100, seed=0, out="", class_cond=True, image_size=64,
+        num_channels=192, num_res_blocks=3, num_head_channels=64,
+        attention_resolutions="32,16,8", learn_sigma=True,
+        noise_schedule="cosine", use_scale_shift_norm=True,
+        resblock_updown=True, use_new_attention_order=True, use_bf16=True,
+        channel_mult="", timestep_respacing=""))
+    p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser("evaluate", help="FID/IS of sample npz vs reference")
+    add_dict_to_argparser(p, dict(sample_batch="", ref_stats="",
+                                  inception_path="", batch_size=100))
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("ref-stats", help="precompute FID reference stats")
+    add_dict_to_argparser(p, dict(images="", out="ref_stats.npz",
+                                  inception_path="", batch_size=100))
+    p.set_defaults(fn=cmd_ref_stats)
+
+    p = sub.add_parser("convert", help="torch checkpoint -> msgpack")
+    add_dict_to_argparser(p, dict(torch_path="", out="", preset="adm64"))
+    p.set_defaults(fn=cmd_convert)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,125 @@
+"""Image folder datasets for training/eval (ADM side).
+
+Re-design of guided_diffusion/image_datasets.py:16-319: recursive folder
+listing, class labels parsed from filename prefixes (ImageNet convention
+"classname_rest.ext"), center/random crop to the model resolution, host
+numpy batches sharded across data-parallel processes. No torch DataLoader —
+a simple process-sharded generator feeding jnp device_put is the
+TPU-friendly equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["list_image_files_recursively", "ImageDataset", "load_data"]
+
+_EXTS = {"jpg", "jpeg", "png", "gif", "bmp", "webp"}
+
+
+def list_image_files_recursively(data_dir: str) -> List[str]:
+    results = []
+    for entry in sorted(os.listdir(data_dir)):
+        full = os.path.join(data_dir, entry)
+        ext = entry.split(".")[-1].lower()
+        if "." in entry and ext in _EXTS:
+            results.append(full)
+        elif os.path.isdir(full):
+            results.extend(list_image_files_recursively(full))
+    return results
+
+
+def _center_crop(arr: np.ndarray, size: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    top, left = (h - size) // 2, (w - size) // 2
+    return arr[top:top + size, left:left + size]
+
+
+def _random_crop(arr: np.ndarray, size: int, rng: random.Random) -> np.ndarray:
+    h, w = arr.shape[:2]
+    top = rng.randrange(h - size + 1)
+    left = rng.randrange(w - size + 1)
+    return arr[top:top + size, left:left + size]
+
+
+class ImageDataset:
+    """Resize-then-crop pipeline matching image_datasets.py:96-167."""
+
+    def __init__(self, resolution: int, paths: List[str],
+                 classes: Optional[List[int]] = None,
+                 shard: int = 0, num_shards: int = 1,
+                 random_crop: bool = False, random_flip: bool = True):
+        self.resolution = resolution
+        self.paths = paths[shard::num_shards]
+        self.classes = None if classes is None else classes[shard::num_shards]
+        self.random_crop = random_crop
+        self.random_flip = random_flip
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, Dict]:
+        from PIL import Image
+
+        with open(self.paths[idx], "rb") as f:
+            img = Image.open(f)
+            img.load()
+        img = img.convert("RGB")
+        # progressive downsize then resize so min side == resolution
+        while min(*img.size) >= 2 * self.resolution:
+            img = img.resize(tuple(x // 2 for x in img.size), Image.BOX)
+        scale = self.resolution / min(*img.size)
+        img = img.resize(tuple(round(x * scale) for x in img.size), Image.BICUBIC)
+        arr = np.array(img)
+        rng = random.Random(idx)
+        if self.random_crop:
+            arr = _random_crop(arr, self.resolution, rng)
+        else:
+            arr = _center_crop(arr, self.resolution)
+        if self.random_flip and rng.random() < 0.5:
+            arr = arr[:, ::-1]
+        arr = arr.astype(np.float32) / 127.5 - 1  # [-1, 1]
+        cond = {}
+        if self.classes is not None:
+            cond["y"] = np.int64(self.classes[idx])
+        return arr, cond
+
+
+def load_data(*, data_dir: str, batch_size: int, image_size: int,
+              class_cond: bool = False, deterministic: bool = False,
+              random_crop: bool = False, random_flip: bool = True,
+              shard: int = 0, num_shards: int = 1,
+              seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Infinite generator of {"x": [B,H,W,3] f32, "y": [B] i64?} batches
+    (load_data, image_datasets.py:16-92)."""
+    if not data_dir:
+        raise ValueError("unspecified data directory")
+    paths = list_image_files_recursively(data_dir)
+    classes = None
+    if class_cond:
+        names = [os.path.basename(p).split("_")[0] for p in paths]
+        sorted_classes = {name: i for i, name in enumerate(sorted(set(names)))}
+        classes = [sorted_classes[n] for n in names]
+    ds = ImageDataset(image_size, paths, classes, shard=shard,
+                      num_shards=num_shards, random_crop=random_crop,
+                      random_flip=random_flip)
+    order = list(range(len(ds)))
+    rng = random.Random(seed)
+    while True:
+        if not deterministic:
+            rng.shuffle(order)
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            xs, ys = [], []
+            for j in order[i:i + batch_size]:
+                arr, cond = ds[j]
+                xs.append(arr)
+                if "y" in cond:
+                    ys.append(cond["y"])
+            batch = {"x": np.stack(xs)}
+            if ys:
+                batch["y"] = np.asarray(ys)
+            yield batch

@@ -50,11 +50,14 @@ class FIDEvaluator:
         self.batch_size = batch_size
 
     def compute_activations(self, arr_uint8: np.ndarray,
-                            want_softmax: bool = False):
-        """[N,H,W,3] uint8 -> (pool3 [N,2048], softmax [N,1008] or None)."""
+                            want_softmax: bool = False,
+                            want_spatial: bool = False):
+        """[N,H,W,3] uint8 -> (pool3 [N,2048], softmax or None, spatial or
+        None). spatial = flattened sFID features (first 7 channels of the
+        17x17 grid, evaluator_v1.py:665-679)."""
         n = arr_uint8.shape[0]
         bs = self.batch_size
-        pools, smx = [], []
+        pools, smx, spat = [], [], []
         for i in range(0, n, bs):
             batch = arr_uint8[i:i + bs]
             pad = 0
@@ -63,32 +66,53 @@ class FIDEvaluator:
                 batch = np.concatenate(
                     [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
             out = self.feature_fn(jnp.asarray(batch))
-            pool = np.asarray(out["pool3"])
-            pools.append(pool[:bs - pad] if pad else pool)
+
+            def take(x):
+                x = np.asarray(x)
+                return x[:bs - pad] if pad else x
+
+            pools.append(take(out["pool3"]))
             if want_softmax:
-                sm = np.asarray(jax.nn.softmax(out["logits"], axis=-1))
-                smx.append(sm[:bs - pad] if pad else sm)
+                smx.append(take(jax.nn.softmax(out["logits"], axis=-1)))
+            if want_spatial and "spatial" in out:
+                s = out["spatial"]
+                spat.append(take(s.reshape(s.shape[0], -1)))
         pool3 = np.concatenate(pools)
-        return pool3, (np.concatenate(smx) if want_softmax else None)
+        return (pool3,
+                np.concatenate(smx) if want_softmax else None,
+                np.concatenate(spat) if spat else None)
 
     def cal_fid(self, arr_uint8: np.ndarray) -> float:
         """FID of a uint8 NHWC sample array vs the reference stats
         (evaluator_v1.py:730-753)."""
-        pool3, _ = self.compute_activations(arr_uint8)
+        pool3, _, _ = self.compute_activations(arr_uint8)
         return frechet_distance(FIDStats.from_features(pool3), self.ref_stats)
 
-    def cal_metrics(self, arr_uint8: np.ndarray) -> dict:
-        """FID + Inception Score (offline evaluator parity, evaluator.py)."""
-        pool3, sm = self.compute_activations(arr_uint8, want_softmax=True)
-        return {
+    def cal_metrics(self, arr_uint8: np.ndarray,
+                    ref_features: Optional[np.ndarray] = None) -> dict:
+        """FID + IS (+ sFID when spatial ref stats given, + precision/recall
+        when raw reference features given) — offline evaluator parity
+        (evaluations/evaluator.py output, README.md:60-75)."""
+        want_spatial = self.ref_stats_spatial is not None
+        pool3, sm, spatial = self.compute_activations(
+            arr_uint8, want_softmax=True, want_spatial=want_spatial)
+        out = {
             "fid": frechet_distance(FIDStats.from_features(pool3), self.ref_stats),
             "inception_score": inception_score(sm),
         }
+        if want_spatial and spatial is not None:
+            out["sfid"] = frechet_distance(FIDStats.from_features(spatial),
+                                           self.ref_stats_spatial)
+        if ref_features is not None:
+            from .prd import precision_recall
+            p, r = precision_recall(ref_features, pool3)
+            out["precision"], out["recall"] = p, r
+        return out
 
     @staticmethod
     def stats_from_images(feature_fn: Callable, arr_uint8: np.ndarray,
                           batch_size: int = 100) -> FIDStats:
         """Precompute reference statistics from a real-image array."""
         ev = FIDEvaluator(feature_fn, None, batch_size=batch_size)  # type: ignore
-        pool3, _ = ev.compute_activations(arr_uint8)
+        pool3, _, _ = ev.compute_activations(arr_uint8)
         return FIDStats.from_features(pool3)

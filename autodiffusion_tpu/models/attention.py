@@ -26,6 +26,7 @@ class CrossAttention(nn.Module):
 
     heads: int = 8
     dim_head: int = 64
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -40,10 +41,17 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, tq, self.heads, self.dim_head)
         k = k.reshape(b, ts, self.heads, self.dim_head)
         v = v.reshape(b, ts, self.heads, self.dim_head)
-        scale = self.dim_head ** -0.5
-        logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) * scale
-        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(b, tq, inner)
+        if self.use_flash and self.dim_head <= 128:
+            from ..ops import flash_attention
+            out = flash_attention(q.transpose(0, 2, 1, 3),
+                                  k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3))
+            out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
+        else:
+            scale = self.dim_head ** -0.5
+            logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) * scale
+            weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(b, tq, inner)
         return nn.DenseGeneral(x.shape[-1], dtype=self.dtype, name="to_out")(out)
 
 

@@ -33,12 +33,24 @@ Dtype = Any
 
 
 def _keep_factor(keep_mask, layer_id: int, structural_skip, dtype) -> Optional[jnp.ndarray]:
-    """None = statically kept; 0.0 array = statically skipped; else dynamic."""
+    """None = statically kept; 0.0 array = statically skipped; else dynamic.
+
+    keep_mask may be [layer_num] (one architecture for the whole batch) or
+    [B, layer_num] (per-sample architectures — used when candidates are
+    folded into the batch axis for search)."""
     if structural_skip is not None and layer_id in structural_skip:
         return jnp.zeros((), dtype=dtype)
     if keep_mask is None:
         return None
-    return keep_mask[layer_id].astype(dtype)
+    if keep_mask.ndim == 2:
+        return keep_mask[:, layer_id].astype(dtype)   # [B]
+    return keep_mask[layer_id].astype(dtype)          # scalar
+
+
+def _apply_keep(h: jnp.ndarray, keep: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if keep is None:
+        return h
+    return h * keep.reshape(keep.shape + (1,) * (h.ndim - keep.ndim))
 
 
 class ResBlock(nn.Module):
@@ -93,9 +105,7 @@ class ResBlock(nn.Module):
         else:
             skip = nn.Conv(c_out, (1, 1), dtype=self.dtype, name="skip")(x)
 
-        if keep is not None:
-            h = h * keep
-        return skip + h
+        return skip + _apply_keep(h, keep)
 
 
 class AttentionBlock(nn.Module):
@@ -113,6 +123,7 @@ class AttentionBlock(nn.Module):
     num_heads: int = 1
     num_head_channels: int = -1
     new_order: bool = True
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -137,17 +148,22 @@ class AttentionBlock(nn.Module):
             qkv = qkv.reshape(b, -1, heads, 3 * hd)
             q, k, v = jnp.split(qkv, 3, axis=-1)                       # [b,t,h,hd]
 
-        scale = 1.0 / np.sqrt(np.sqrt(hd))
-        logits = jnp.einsum("bthd,bshd->bhts",
-                            (q * scale).astype(jnp.float32),
-                            (k * scale).astype(jnp.float32))
-        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        a = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(b, -1, c)
+        if self.use_flash and hd <= 128:
+            from ..ops import flash_attention
+            a = flash_attention(q.transpose(0, 2, 1, 3),
+                                k.transpose(0, 2, 1, 3),
+                                v.transpose(0, 2, 1, 3))
+            a = a.transpose(0, 2, 1, 3).reshape(b, -1, c)
+        else:
+            scale = 1.0 / np.sqrt(np.sqrt(hd))
+            logits = jnp.einsum("bthd,bshd->bhts",
+                                (q * scale).astype(jnp.float32),
+                                (k * scale).astype(jnp.float32))
+            weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            a = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(b, -1, c)
         a = nn.DenseGeneral(c, kernel_init=zero_init, dtype=self.dtype,
                             name="proj_out")(a)
-        if keep is not None:
-            a = a * keep
-        return x + a.reshape(b, hgt, wid, c)
+        return x + _apply_keep(a, keep).reshape(b, hgt, wid, c)
 
 
 class AttentionPool2d(nn.Module):

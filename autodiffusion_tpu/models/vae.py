@@ -26,7 +26,8 @@ class VAEGroupNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         dt = x.dtype
-        return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
+        groups = min(32, x.shape[-1])   # CompVis always has >=32 channels
+        return nn.GroupNorm(num_groups=groups, epsilon=1e-6, dtype=jnp.float32,
                             param_dtype=jnp.float32, name="gn")(
             x.astype(jnp.float32)).astype(dt)
 

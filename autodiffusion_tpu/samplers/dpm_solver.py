@@ -82,7 +82,10 @@ def dpm_solver_sample_loop(model_fn: Callable, shape,
     nd = len(shape) - 1
 
     def bshape(v):
-        return jnp.reshape(v, (1,) * (nd + 1))
+        # scalar -> (1,..,1); per-sample [N] -> (N,1,..,1) (times may carry a
+        # leading batch axis when candidates are folded into the batch)
+        v = jnp.asarray(v)
+        return v.reshape(v.shape + (1,) * nd)
 
     def t_at(i):
         return times[..., i]
@@ -114,10 +117,10 @@ def dpm_solver_sample_loop(model_fn: Callable, shape,
         safe = lambda v: jnp.where(v == 0, 1.0, v)
         r0 = (lam_s - lam_1) / safe(h)
         r1 = (lam_1 - lam_2) / safe(h)
-        d1_0 = (m0 - m_hist[1]) / safe(r0)
-        d1_1 = (m_hist[1] - m_hist[2]) / safe(r1)
-        d1 = d1_0 + (r0 / safe(r0 + r1)) * (d1_0 - d1_1)
-        d2 = (d1_0 - d1_1) / safe(r0 + r1)
+        d1_0 = (m0 - m_hist[1]) / bshape(safe(r0))
+        d1_1 = (m_hist[1] - m_hist[2]) / bshape(safe(r1))
+        d1 = d1_0 + bshape(r0 / safe(r0 + r1)) * (d1_0 - d1_1)
+        d2 = (d1_0 - d1_1) / bshape(safe(r0 + r1))
 
         if predict_x0:
             phi1 = jnp.expm1(-h)

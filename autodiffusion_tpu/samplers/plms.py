@@ -28,10 +28,15 @@ def plms_sample_loop(model_fn: Callable, shape, tables: ScheduleTables, *,
     K = tables.num_steps
     nd = len(shape) - 1
 
+    def bshape(v):
+        # scalar -> (1,1,1); per-sample [N] -> (N,1,1,1): tables may carry a
+        # leading batch axis when candidates are folded into the batch
+        return v.reshape(v.shape + (1,) * nd)
+
     def coeffs(i):
-        a_t = tables.alphas_cumprod[..., i].reshape((1,) * nd)
-        a_prev = tables.alphas_cumprod_prev[..., i].reshape((1,) * nd)
-        sqrt_om = tables.sqrt_one_minus_alphas_cumprod[..., i].reshape((1,) * nd)
+        a_t = bshape(tables.alphas_cumprod[..., i])
+        a_prev = bshape(tables.alphas_cumprod_prev[..., i])
+        sqrt_om = bshape(tables.sqrt_one_minus_alphas_cumprod[..., i])
         return a_t, a_prev, sqrt_om
 
     def x_prev_from(x, e_t, i):

@@ -1,17 +1,24 @@
-"""Candidate fitness: batched, vmapped FID evaluation on device.
+"""Candidate fitness: batched FID evaluation with candidates folded into
+the batch axis.
 
 The reference evaluates one candidate at a time — rebuild schedule, sample
 num_samples images, run TF FID, repeat (search_imagenet64_classifier_
-guidance.py:308-376). Here candidates are evaluated in *vectorized chunks*:
-same-K candidates' ScheduleTables are stacked and the whole
-(sample -> feature -> moment) pipeline is vmapped over the candidate axis,
-giving the >=10x per-chip win targeted in BASELINE.json. The feature moments
-are accumulated on device (FeatureStats); only the tiny (mu, sigma) pair and
-the final scipy sqrtm run on host.
+guidance.py:308-376). Here a chunk of C same-K candidates is evaluated in
+ONE compiled program by expanding their ScheduleTables per-sample: every
+array in the stacked payload becomes [C*B, ...] (sample j belongs to
+candidate j // B), the scan-based samplers consume per-sample coefficients
+natively, and feature moments reduce back to per-candidate statistics by a
+reshape. Unlike a vmap over candidates, the compiled program is the same
+SIZE as a single-candidate run with a larger batch — important both for MXU
+utilization and for environments that cap XLA program size.
 
-Generic over model family: the caller supplies
-  payload_fn(candidate) -> pytree   (tables + any per-step masks/aux)
-  sample_fn(payload, rng) -> uint8 [B, H, W, 3]   (jit/vmap-compatible)
+Only the tiny (mu, sigma) pair and the final scipy sqrtm run on host.
+
+Caller supplies:
+  payload_fn(candidate) -> pytree of arrays whose leading axis is K-like
+      (ScheduleTables fields, keep-mask matrices, time vectors...)
+  sample_fn(payload, rng, batch_idx) -> uint8 [N, H, W, 3] where N is the
+      leading axis length of the per-sample payload arrays
 """
 
 from __future__ import annotations
@@ -23,8 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fid.stats import (FeatureStats, FIDStats, accumulate_stats,
-                         finalize_stats, frechet_distance)
+from ..fid.stats import FeatureStats, FIDStats, finalize_stats, frechet_distance
 from ..utils import logger
 
 __all__ = ["BatchedFIDFitness", "to_uint8"]
@@ -39,9 +45,10 @@ def to_uint8(samples: jnp.ndarray) -> jnp.ndarray:
 class BatchedFIDFitness:
     """fitness(list of candidates) -> list of FIDs.
 
-    candidate_chunk bounds how many candidates run concurrently (vmap axis);
-    num_samples images per candidate are generated in sample_fn-sized batches
-    and streamed through feature_fn into running moments.
+    candidate_chunk bounds how many candidates share one compiled sampling
+    program (total sampling batch = candidate_chunk * batch_size);
+    num_samples images per candidate are generated in batch_size-sized
+    slices and streamed into running per-candidate moments.
     """
 
     def __init__(self, *, payload_fn: Callable, sample_fn: Callable,
@@ -59,25 +66,27 @@ class BatchedFIDFitness:
         self.feature_dim = feature_dim
         self.seed = seed
         self._eval_count = 0
-        # same-shape candidates can stack; default key = tables length K
+        # same-shape candidates can stack; default key = candidate length
         self.group_key_fn = group_key_fn or (lambda c: len(c[0]) if
                                              isinstance(c[0], tuple) else len(c))
 
-        # one jit serves every candidate chunk: vmap over stacked payloads
-        def chunk_step(payloads, stats, rng):
-            def one(payload, st, r):
-                imgs = sample_fn(payload, r)
-                feats = feature_fn(imgs)["pool3"]
-                return accumulate_stats(st, feats)
-
-            rngs = jax.random.split(rng, stats.n.shape[0])
-            return jax.vmap(one)(payloads, stats, rngs)
+        def chunk_step(per_sample_payload, stats, rng, batch_idx):
+            c = stats.n.shape[0]
+            imgs = sample_fn(per_sample_payload, rng, batch_idx)
+            feats = feature_fn(imgs)["pool3"].astype(stats.s1.dtype)
+            b = feats.shape[0] // c
+            by_cand = feats.reshape(c, b, -1)
+            return FeatureStats(
+                n=stats.n + b,
+                s1=stats.s1 + by_cand.sum(axis=1),
+                s2=stats.s2 + jnp.einsum("cbd,cbe->cde", by_cand, by_cand),
+            )
 
         self._chunk_step = jax.jit(chunk_step)
 
     def __call__(self, candidates: Sequence[Any]) -> List[float]:
         fids: Dict[int, float] = {}
-        # group by shape so each group stacks into one vmapped evaluation
+        # group by shape so each group stacks into one compiled evaluation
         groups: Dict[Any, List[int]] = {}
         for i, c in enumerate(candidates):
             groups.setdefault(self.group_key_fn(c), []).append(i)
@@ -92,10 +101,15 @@ class BatchedFIDFitness:
         return [fids[i] for i in range(len(candidates))]
 
     def _eval_chunk(self, cands: List[Any]) -> List[float]:
-        payloads = [self.payload_fn(c) for c in cands]
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], axis=0), *payloads)
         c = len(cands)
+        payloads = [self.payload_fn(x) for x in cands]
+        # stack [C, ...] then expand per-sample to [C*B, ...]: sample j
+        # belongs to candidate j // batch_size
+        per_sample = jax.tree_util.tree_map(
+            lambda *xs: jnp.repeat(
+                jnp.stack([jnp.asarray(x) for x in xs], axis=0),
+                self.batch_size, axis=0),
+            *payloads)
         stats = FeatureStats(
             n=jnp.zeros((c,)),
             s1=jnp.zeros((c, self.feature_dim)),
@@ -105,7 +119,7 @@ class BatchedFIDFitness:
         base_rng = jax.random.key(self.seed)
         for b in range(n_batches):
             rng = jax.random.fold_in(jax.random.fold_in(base_rng, self._eval_count), b)
-            stats = self._chunk_step(stacked, stats, rng)
+            stats = self._chunk_step(per_sample, stats, rng, jnp.int32(b))
         self._eval_count += 1
         out = []
         for i in range(c):

@@ -62,16 +62,17 @@ def make_adm_fitness(*, model, params, image_size: int,
                               base_num_steps=base_num_steps)
         return {"tables": tables}
 
-    def sample_fn(payload, rng):
+    def sample_fn(payload, rng, batch_idx):
         tables = payload["tables"]
+        n = tables.betas.shape[0]          # total batch = chunk * batch_size
         label_rng, noise_rng = jax.random.split(rng)
-        y = (jax.random.randint(label_rng, (batch_size,), 0, num_classes)
+        y = (jax.random.randint(label_rng, (n,), 0, num_classes)
              if num_classes else None)
 
         def model_fn(x, t, i):
             kw = {}
             if joint:
-                kw["keep_mask"] = payload["keep_masks"][i]
+                kw["keep_mask"] = payload["keep_masks"][:, i]   # [N, L]
             return model.apply(params, x, t, y, **kw) if y is not None \
                 else model.apply(params, x, t, **kw)
 
@@ -82,7 +83,7 @@ def make_adm_fitness(*, model, params, image_size: int,
                 lambda x, t: classifier.apply(classifier_params, x, t),
                 y, classifier_scale)
 
-        shape = (batch_size, image_size, image_size, 3)
+        shape = (n, image_size, image_size, 3)
         loop = ddim_sample_loop if use_ddim else p_sample_loop
         kw = {"eta": eta} if use_ddim else {}
         noise = jax.random.normal(noise_rng, shape)

@@ -1,0 +1,114 @@
+"""Stable Diffusion latent txt2img search pipeline.
+
+TPU re-design of sd/scripts/search_ea.py:504-566 (get_cand_fid): candidates
+are either integer timestep subsets (DDIM/PLMS) or continuous time knots
+(DPM-Solver); fitness = FID of CFG-guided latent samples decoded through the
+VAE against precomputed COCO statistics.
+
+Structural wins vs the reference:
+  * the CLIP text tower runs ONCE per search — prompt embeddings are
+    precomputed into a context bank, instead of re-encoding every candidate
+    batch (search_ea.py:520-526);
+  * sampling + VAE decode + Inception features run as one jitted, vmapped
+    graph per candidate chunk.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fid.stats import FIDStats
+from ..models.vae import SD_SCALE_FACTOR
+from ..samplers import (DiscreteNoiseSchedule, ddim_sample_loop,
+                        dpm_solver_sample_loop, plms_sample_loop)
+from ..samplers.diffusion import ModelVarType
+from ..schedules import build_sd_tables, make_beta_schedule
+from .fitness import BatchedFIDFitness
+
+__all__ = ["make_sd_fitness", "sd_decode_to_uint8"]
+
+
+def sd_decode_to_uint8(vae_apply: Callable, vae_params, z: jnp.ndarray) -> jnp.ndarray:
+    """latents -> uint8 images: decode(z / 0.18215), clamp to [0,1]
+    (search_ea.py:539-541 via decode_first_stage)."""
+    x = vae_apply(vae_params, z / SD_SCALE_FACTOR)
+    x = jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+    return (x * 255.0 + 0.5).astype(jnp.uint8)
+
+
+def make_sd_fitness(*, unet, unet_params, vae, vae_params,
+                    context_bank: jnp.ndarray, uncond_context: jnp.ndarray,
+                    feature_fn: Callable, ref_stats: FIDStats,
+                    num_samples: int, batch_size: int,
+                    sampler: str = "plms",            # ddim | plms | dpm_solver
+                    guidance_scale: float = 7.5,
+                    latent_hw: int = 64, latent_ch: int = 4,
+                    base_num_steps: int = 1000,
+                    linear_start: float = 0.00085, linear_end: float = 0.012,
+                    dpm_order: int = 2,
+                    candidate_chunk: int = 4, seed: int = 0,
+                    feature_dim: int = 2048) -> BatchedFIDFitness:
+    """context_bank: [N, 77, 768] precomputed CLIP embeddings of the eval
+    prompts (COCO captions); uncond_context: [77, 768] empty-prompt
+    embedding. Candidates: int tuples for ddim/plms, float tuples (K+1
+    ascending times) for dpm_solver."""
+    betas = make_beta_schedule("sqrt_linear", base_num_steps,
+                               linear_start=linear_start, linear_end=linear_end)
+    noise_sched = DiscreteNoiseSchedule.from_betas(betas)
+    n_prompts = context_bank.shape[0]
+
+    def payload_fn(cand):
+        if sampler == "dpm_solver":
+            times = np.asarray(sorted(cand, reverse=True), np.float32)
+            return {"times": jnp.asarray(times)}
+        tables = build_sd_tables(cand, base_num_steps=base_num_steps,
+                                 linear_start=linear_start,
+                                 linear_end=linear_end)
+        return {"tables": tables}
+
+    def sample_fn(payload, rng, batch_idx):
+        arrs = jax.tree_util.tree_leaves(payload)
+        n = arrs[0].shape[0]               # total batch = chunk * batch_size
+        # deterministic rolling prompt window, like the reference's loader
+        # iteration (search_ea.py:516-519); each candidate's slice draws the
+        # same prompts
+        start = (batch_idx * batch_size) % n_prompts
+        idx = (start + jnp.arange(n) % batch_size) % n_prompts
+        ctx = context_bank[idx]
+        uc = jnp.broadcast_to(uncond_context[None], ctx.shape)
+        shape = (n, latent_hw, latent_hw, latent_ch)
+
+        def guided_eps(x, t):
+            # CFG 2x-batch (ddim.py:184-191)
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            c2 = jnp.concatenate([uc, ctx], axis=0)
+            out = unet.apply(unet_params, x2, t2, c2)
+            e_u, e_c = out[:n], out[n:]
+            return e_u + guidance_scale * (e_c - e_u)
+
+        if sampler == "dpm_solver":
+            z = dpm_solver_sample_loop(
+                guided_eps, shape, noise_sched, payload["times"], rng=rng,
+                order=dpm_order, lower_order_final=True, predict_x0=True)
+        elif sampler == "plms":
+            z = plms_sample_loop(lambda x, t, i: guided_eps(x, t), shape,
+                                 payload["tables"], rng=rng)
+        elif sampler == "ddim":
+            z = ddim_sample_loop(lambda x, t, i: guided_eps(x, t), shape,
+                                 payload["tables"], rng=rng,
+                                 clip_denoised=False,
+                                 var_type=ModelVarType.FIXED_SMALL)
+        else:
+            raise ValueError(sampler)
+        return sd_decode_to_uint8(
+            lambda p, zz: vae.apply(p, zz, method=vae.decode), vae_params, z)
+
+    return BatchedFIDFitness(
+        payload_fn=payload_fn, sample_fn=sample_fn, feature_fn=feature_fn,
+        ref_stats=ref_stats, num_samples=num_samples, batch_size=batch_size,
+        candidate_chunk=candidate_chunk, seed=seed, feature_dim=feature_dim)

@@ -20,7 +20,7 @@ from ..samplers.diffusion import (ModelMeanType, ModelVarType, _at,
 from ..schedules import ScheduleTables
 
 __all__ = ["normal_kl", "discretized_gaussian_log_likelihood", "vb_terms_bpd",
-           "training_losses", "LossType"]
+           "training_losses", "calc_bpd_loop", "LossType"]
 
 
 class LossType:
@@ -125,3 +125,60 @@ def training_losses(tables: ScheduleTables, model_fn, x_start, t, rng, *,
     terms["mse"] = mean_flat((target - model_out) ** 2)
     terms["loss"] = terms["mse"] + terms.get("vb", 0.0)
     return terms
+
+
+def _prior_bpd(tables: ScheduleTables, x_start):
+    """KL(q(x_T | x_0) || N(0, I)) in bits (gaussian_diffusion.py:834-850)."""
+    i = tables.num_steps - 1
+    nd = x_start.ndim - 1
+    mean = _at(tables.sqrt_alphas_cumprod, i, nd) * x_start
+    log_var = _at(tables.log_one_minus_alphas_cumprod, i, nd)
+    kl = normal_kl(mean, log_var, jnp.zeros_like(mean), jnp.zeros_like(log_var))
+    return mean_flat(kl) / jnp.log(2.0)
+
+
+def calc_bpd_loop(tables: ScheduleTables, model_fn, x_start, rng, *,
+                  mean_type: ModelMeanType = ModelMeanType.EPSILON,
+                  var_type: ModelVarType = ModelVarType.LEARNED_RANGE,
+                  clip_denoised: bool = True) -> Dict[str, jnp.ndarray]:
+    """Full variational bound in bits/dim over every timestep
+    (gaussian_diffusion.py:852-908; scripts/image_nll.py). Returns per-
+    example total_bpd, prior_bpd, and per-(step, example) vb / xstart_mse /
+    mse arrays (leading axis = step, ascending t)."""
+    B = x_start.shape[0]
+
+    def body(carry, i):
+        r = jax.random.fold_in(rng, i)
+        noise = jax.random.normal(r, x_start.shape)
+        t = jnp.full((B,), i, jnp.int32)
+        x_t = q_sample(tables, x_start, t, noise)
+        t_orig = tables.timestep_map[t].astype(jnp.float32)
+        model_out = model_fn(x_t, t_orig)
+        vb, pred_x0 = vb_terms_bpd(tables, model_out, x_start, x_t, t,
+                                   mean_type=mean_type, var_type=var_type,
+                                   clip_denoised=clip_denoised)
+        out, _ = _split_model_output_for_eps(model_out, x_t, var_type)
+        eps = _predict_eps(tables, x_t, t, pred_x0)
+        return carry, (vb, mean_flat((pred_x0 - x_start) ** 2),
+                       mean_flat((eps - noise) ** 2))
+
+    _, (vb, xstart_mse, mse) = jax.lax.scan(body, None,
+                                            jnp.arange(tables.num_steps))
+    prior = _prior_bpd(tables, x_start)
+    return {
+        "total_bpd": vb.sum(axis=0) + prior,
+        "prior_bpd": prior,
+        "vb": vb,
+        "xstart_mse": xstart_mse,
+        "mse": mse,
+    }
+
+
+def _split_model_output_for_eps(model_out, x, var_type):
+    from ..samplers.diffusion import _split_model_output
+    return _split_model_output(model_out, x, var_type)
+
+
+def _predict_eps(tables, x_t, t, pred_x0):
+    from ..samplers.diffusion import _predict_eps_from_xstart
+    return _predict_eps_from_xstart(tables, x_t, t, pred_x0)

@@ -1,5 +1,5 @@
-"""Utilities: logging, configuration."""
+"""Utilities: logging, checkpointing, configuration."""
 
-from . import logger
+from . import checkpoint, logger
 
-__all__ = ["logger"]
+__all__ = ["logger", "checkpoint"]

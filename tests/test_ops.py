@@ -1,0 +1,49 @@
+"""Pallas kernels vs reference einsum implementations (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autodiffusion_tpu.ops import flash_attention
+
+
+def reference_attention(q, k, v):
+    d = q.shape[-1]
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k).astype(jnp.float32) / np.sqrt(d)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", w, v)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("t,s,d", [(128, 128, 64), (256, 256, 32),
+                                       (100, 100, 64),   # ragged T
+                                       (64, 300, 64)])   # cross-attn, ragged S
+    def test_matches_einsum(self, t, s, d):
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(2, 2, t, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(2, 2, s, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(2, 2, s, d).astype(np.float32))
+        want = reference_attention(q, k, v)
+        got = flash_attention(q, k, v, block_q=64, block_kv=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_bf16_inputs(self):
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(1, 2, 128, 64), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(1, 2, 128, 64), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(1, 2, 128, 64), jnp.bfloat16)
+        want = reference_attention(q, k, v)
+        got = flash_attention(q, k, v, block_q=64, block_kv=64, interpret=True)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   atol=3e-2, rtol=3e-2)
+
+    def test_softmax_stability_large_logits(self):
+        q = jnp.full((1, 1, 64, 32), 30.0)
+        k = jnp.full((1, 1, 64, 32), 30.0)
+        v = jnp.ones((1, 1, 64, 32))
+        got = flash_attention(q, k, v, block_q=64, block_kv=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), 1.0, atol=1e-5)

@@ -1,0 +1,169 @@
+"""SD fitness pipeline, train loop, data pipelines, CLI plumbing."""
+
+import json
+import os
+import random as pyrandom
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autodiffusion_tpu.fid import FIDStats
+from autodiffusion_tpu.models import AutoencoderKL, SDUNetModel
+from autodiffusion_tpu.search import ContinuousTimeSpace, EvolutionSearcher, TimestepSpace
+from autodiffusion_tpu.search.sd_pipelines import make_sd_fitness
+
+
+@pytest.fixture(scope="module")
+def tiny_sd():
+    unet = SDUNetModel(in_channels=4, model_channels=32, out_channels=4,
+                       num_res_blocks=1, attention_ds=(1,), channel_mult=(1, 2),
+                       num_heads=2, context_dim=16)
+    z = jnp.zeros((1, 8, 8, 4))
+    uparams = unet.init(jax.random.key(0), z, jnp.zeros((1,)),
+                        jnp.zeros((1, 5, 16)))
+    vae = AutoencoderKL(ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                        z_channels=4, embed_dim=4)
+    vparams = vae.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)))
+    return unet, uparams, vae, vparams
+
+
+def _stub_features(imgs):
+    x = imgs.astype(jnp.float32).reshape(imgs.shape[0], -1)
+    return {"pool3": x[:, :12]}
+
+
+class TestSDFitness:
+    @pytest.mark.parametrize("sampler,cand", [
+        ("plms", (94, 217, 574, 944)),
+        ("ddim", (94, 217, 574, 944)),
+        ("dpm_solver", (0.014986, 0.285715, 0.5005, 0.718282, 0.926074)),
+    ])
+    def test_end_to_end(self, tiny_sd, sampler, cand):
+        unet, uparams, vae, vparams = tiny_sd
+        ctx = jnp.asarray(np.random.RandomState(0).randn(10, 5, 16), jnp.float32)
+        uncond = jnp.zeros((5, 16))
+        ref = FIDStats.from_features(np.random.RandomState(1).randn(50, 12) * 40 + 127)
+        fitness = make_sd_fitness(
+            unet=unet, unet_params=uparams, vae=vae, vae_params=vparams,
+            context_bank=ctx, uncond_context=uncond,
+            feature_fn=_stub_features, ref_stats=ref, num_samples=4,
+            batch_size=2, sampler=sampler, guidance_scale=7.5,
+            latent_hw=8, latent_ch=4, candidate_chunk=2, feature_dim=12)
+        fids = fitness([cand])
+        assert np.isfinite(fids[0])
+
+    def test_ea_over_continuous_space(self, tiny_sd):
+        unet, uparams, vae, vparams = tiny_sd
+        ctx = jnp.asarray(np.random.RandomState(0).randn(6, 5, 16), jnp.float32)
+        def small_features(imgs):
+            x = imgs.astype(jnp.float32).reshape(imgs.shape[0], -1)
+            return {"pool3": x[:, :4]}
+
+        ref = FIDStats.from_features(np.random.RandomState(1).randn(50, 4) * 40 + 127)
+        fitness = make_sd_fitness(
+            unet=unet, unet_params=uparams, vae=vae, vae_params=vparams,
+            context_bank=ctx, uncond_context=jnp.zeros((5, 16)),
+            feature_fn=small_features, ref_stats=ref, num_samples=8,
+            batch_size=2, sampler="dpm_solver", latent_hw=8,
+            candidate_chunk=2, feature_dim=4)
+        space = ContinuousTimeSpace.uniform_grid(5, rng=pyrandom.Random(0),
+                                                 grid_size=100)
+        s = EvolutionSearcher(space, fitness, population_num=3, select_num=2,
+                              mutation_num=1, crossover_num=1, max_epochs=1)
+        best, fid = s.search()
+        assert len(best) == 5 and np.isfinite(fid)
+
+
+class TestTrainLoop:
+    def test_loop_runs_and_saves(self, tmp_path):
+        from autodiffusion_tpu.models import UNetModel
+        from autodiffusion_tpu.train import (TrainLoop, create_train_state,
+                                             make_train_step, ofa_tables_fn)
+
+        m = UNetModel(model_channels=32, out_channels=6, num_res_blocks=1,
+                      attention_ds=(2,), channel_mult=(1, 2), num_head_channels=32)
+        params = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)),
+                        jnp.zeros((1,)))
+        state = create_train_state(params, lr=1e-5)
+        step = jax.jit(make_train_step(m.apply))
+
+        rng = np.random.RandomState(0)
+
+        def data():
+            while True:
+                yield {"x": rng.randn(4, 8, 8, 3).astype(np.float32)}
+
+        loop = TrainLoop(state=state, step_fn=step, data=data(),
+                         batch_size=4, save_interval=3,
+                         save_dir=str(tmp_path), log_interval=100)
+        loop.run_loop(max_steps=4)
+        assert loop.step == 4
+        assert (tmp_path / "model000003.msgpack").exists()
+        assert (tmp_path / "ema_0.9999_000003.msgpack").exists()
+
+    def test_ofa_tables_fn_bounded_K(self):
+        from autodiffusion_tpu.train import ofa_tables_fn
+        fn = ofa_tables_fn(sections=4, steps_per_section=(2, 3))
+        ks = {fn(i, pyrandom.Random(i)).num_steps for i in range(20)}
+        assert ks <= {8, 9, 10, 11, 12}
+
+
+class TestCheckpointRoundtrip:
+    def test_save_load_tree(self, tmp_path):
+        from autodiffusion_tpu.utils.checkpoint import (find_latest_checkpoint,
+                                                        load_tree, save_tree)
+        tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+        p = str(tmp_path / "model000042.msgpack")
+        save_tree(p, tree)
+        out = load_tree(p, tree)
+        np.testing.assert_array_equal(np.asarray(out["b"]["c"]), np.ones((2, 2)))
+        found = find_latest_checkpoint(str(tmp_path))
+        assert found is not None and found[1] == 42
+
+
+class TestData:
+    def test_image_folder_loader(self, tmp_path):
+        from PIL import Image
+        from autodiffusion_tpu.data import load_data
+        for cls in ("cat", "dog"):
+            for i in range(3):
+                Image.fromarray(
+                    (np.random.RandomState(i).rand(40, 40, 3) * 255
+                     ).astype(np.uint8)).save(tmp_path / f"{cls}_{i}.png")
+        it = load_data(data_dir=str(tmp_path), batch_size=2, image_size=16,
+                       class_cond=True)
+        batch = next(it)
+        assert batch["x"].shape == (2, 16, 16, 3)
+        assert batch["x"].min() >= -1 and batch["x"].max() <= 1
+        assert set(np.unique(batch["y"])) <= {0, 1}
+
+    def test_coco_captions(self, tmp_path):
+        from autodiffusion_tpu.data import CocoCaptions
+        ann = [{"image_id": 1, "caption": "a cat"},
+               {"image_id": 2, "caption": "a dog"}]
+        p = tmp_path / "caps.json"
+        p.write_text(json.dumps(ann))
+        ds = CocoCaptions(str(p))
+        assert ds.captions() == ["a cat", "a dog"]
+
+
+class TestCLI:
+    def test_help_and_subcommands(self):
+        from autodiffusion_tpu.cli.main import main
+        with pytest.raises(SystemExit) as e:
+            main(["--help"])
+        assert e.value.code == 0
+
+    def test_sample_defaults_parse_reference_flags(self):
+        # the published flag bundle must parse
+        # (sample_imagenet64_classifier_guidance_subnet.sh)
+        import argparse
+        from autodiffusion_tpu.cli.main import main
+        argv = ["sample", "--model_path", "/nonexistent.pt",
+                "--use_timestep", "[94, 834, 217, 944, 574, 354]",
+                "--classifier_scale", "1.0", "--use_ddim", "True",
+                "--num_samples", "10", "--batch_size", "5"]
+        with pytest.raises(FileNotFoundError):
+            main(argv)  # parses fine, fails at checkpoint load

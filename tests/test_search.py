@@ -154,11 +154,11 @@ class TestBatchedFitness:
         candidate's first table value; features = flattened pixels."""
 
         def payload_fn(cand):
-            return {"v": jnp.asarray(float(cand[0]))}
+            return {"v": jnp.asarray([float(cand[0])])}
 
-        def sample_fn(payload, rng):
-            base = payload["v"] / 1000.0 * 2 - 1
-            img = jnp.full((16, 4, 4, 3), base)
+        def sample_fn(payload, rng, batch_idx):
+            base = payload["v"][:, 0] / 1000.0 * 2 - 1       # [N]
+            img = base[:, None, None, None] * jnp.ones((1, 4, 4, 3))
             return to_uint8(img + 0.01 * jax.random.normal(rng, img.shape))
 
         def feature_fn(imgs):
@@ -182,12 +182,15 @@ class TestBatchedFitness:
         assert fids[0] < fids[2] and fids[1] < fids[2]
 
     def test_chunking_matches_individual(self):
+        # chunked and individual runs draw different noise streams (the
+        # candidates share one batch axis), so compare statistically
         f = self._fitness(candidate_chunk=4, seed=3)
-        cands = [(100, 1), (400, 2), (700, 3), (900, 4), (300, 5)]
+        cands = [(100, 1), (450, 2), (700, 3), (950, 4), (250, 5)]
         batch = f(cands)
         g = self._fitness(candidate_chunk=1, seed=3)
         single = [g([c])[0] for c in cands]
-        np.testing.assert_allclose(batch, single, rtol=2e-2)
+        np.testing.assert_allclose(batch, single, rtol=0.05)
+        assert np.argsort(batch).tolist() == np.argsort(single).tolist()
 
 
 class TestEndToEndTinySearch:
