@@ -204,6 +204,173 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def _sd_stack(args):
+    """Load the three SD towers from a CompVis checkpoint."""
+    import jax.numpy as jnp
+    from ..models import (AutoencoderKL, CLIPTextConfig, CLIPTextEncoder,
+                          ClipBPETokenizer, SDUNetModel)
+    from ..models.convert import load_torch_state_dict
+    from ..models.sd_convert import split_sd_checkpoint
+
+    dtype = jnp.bfloat16 if args.use_bf16 else jnp.float32
+    unet = SDUNetModel(dtype=dtype)
+    vae = AutoencoderKL(dtype=dtype)
+    clip_cfg = CLIPTextConfig()
+    clip = CLIPTextEncoder(clip_cfg, dtype=dtype)
+    sd = load_torch_state_dict(args.ckpt)
+    uparams, vparams, cparams = split_sd_checkpoint(
+        sd, unet=unet, vae=vae, clip_config=clip_cfg)
+    tok = ClipBPETokenizer.from_files(args.clip_vocab, args.clip_merges)
+    return unet, uparams, vae, vparams, clip, cparams, tok
+
+
+def cmd_search_sd(args) -> int:
+    """SD latent search (sd/scripts/search_ea.py main)."""
+    import jax
+    import jax.numpy as jnp
+    from ..data import load_captions
+    from ..fid import FIDStats, load_fid_inception_params, make_inception_feature_fn
+    from ..search import (ContinuousTimeSpace, EvolutionSearcher, TimestepSpace)
+    from ..search.sd_pipelines import make_sd_fitness
+
+    logger.configure(args.save_dir or None)
+    unet, uparams, vae, vparams, clip, cparams, tok = _sd_stack(args)
+
+    captions = [c["caption"] for c in load_captions(args.captions,
+                                                    limit=args.num_prompts)]
+    ids = jnp.asarray(tok(captions))
+    encode = jax.jit(lambda i: clip.apply(cparams, i))
+    bank = []
+    for i in range(0, len(captions), 64):
+        bank.append(encode(ids[i:i + 64]))
+    context_bank = jnp.concatenate(bank)
+    uncond = encode(jnp.asarray(tok([""])))[0]
+
+    feature_fn = make_inception_feature_fn(
+        load_fid_inception_params(args.inception_path))
+    ref = FIDStats.load(args.ref_stats)
+    fitness = make_sd_fitness(
+        unet=unet, unet_params=uparams, vae=vae, vae_params=vparams,
+        context_bank=context_bank, uncond_context=uncond,
+        feature_fn=feature_fn, ref_stats=ref, num_samples=args.num_samples,
+        batch_size=args.batch_size, sampler=args.sampler,
+        guidance_scale=args.scale, latent_hw=args.H // 8,
+        candidate_chunk=args.candidate_chunk, seed=args.seed)
+
+    if args.sampler == "dpm_solver":
+        space = ContinuousTimeSpace.uniform_grid(args.time_step + 1)
+    else:
+        space = TimestepSpace(1000, args.time_step)
+    searcher = EvolutionSearcher(
+        space, fitness, population_num=args.population_num,
+        select_num=args.select_num, mutation_num=args.mutation_num,
+        crossover_num=args.crossover_num, m_prob=args.m_prob,
+        max_epochs=args.max_epochs, use_ddim_init_x=args.use_ddim_init_x,
+        checkpoint_path=(f"{args.save_dir}/ea_state.json"
+                         if args.save_dir else None))
+    best, fid = searcher.search()
+    print(json.dumps({"best": list(best), "fid": fid}))
+    return 0
+
+
+def cmd_txt2img(args) -> int:
+    """Sample COCO/text prompts with an optional searched schedule
+    (sd/scripts/txt2img_fid.py)."""
+    import ast
+    import jax
+    import jax.numpy as jnp
+    from ..models.vae import SD_SCALE_FACTOR
+    from ..samplers import (DiscreteNoiseSchedule, ddim_sample_loop,
+                            dpm_solver_sample_loop, plms_sample_loop)
+    from ..samplers.diffusion import ModelVarType
+    from ..schedules import build_sd_tables, make_beta_schedule
+    from ..search.sd_pipelines import sd_decode_to_uint8
+
+    unet, uparams, vae, vparams, clip, cparams, tok = _sd_stack(args)
+    prompts = [args.prompt] * args.n_samples if args.prompt else []
+    if args.from_file:
+        with open(args.from_file) as f:
+            prompts = [l.strip() for l in f if l.strip()]
+    ctx = clip.apply(cparams, jnp.asarray(tok(prompts)))
+    uc = clip.apply(cparams, jnp.asarray(tok([""] * len(prompts))))
+    n = len(prompts)
+    shape = (n, args.H // 8, args.W // 8, 4)
+
+    def guided(x, t):
+        x2 = jnp.concatenate([x, x])
+        t2 = jnp.concatenate([t, t])
+        c2 = jnp.concatenate([uc, ctx])
+        out = unet.apply(uparams, x2, t2, c2)
+        e_u, e_c = out[:n], out[n:]
+        return e_u + args.scale * (e_c - e_u)
+
+    rng = jax.random.key(args.seed)
+    if args.timesteps:
+        steps = ast.literal_eval(args.timesteps)
+    else:
+        steps = None
+    if args.sampler == "dpm_solver":
+        betas = make_beta_schedule("sqrt_linear", 1000)
+        sched = DiscreteNoiseSchedule.from_betas(betas)
+        times = (jnp.asarray(sorted(steps, reverse=True), jnp.float32)
+                 if steps else jnp.linspace(1.0, 1e-3, args.steps + 1))
+        z = dpm_solver_sample_loop(guided, shape, sched, times, rng=rng)
+    else:
+        from ..schedules import make_ddim_timesteps
+        use = steps if steps else make_ddim_timesteps("uniform", args.steps, 1000)
+        tables = build_sd_tables(use)
+        loop = plms_sample_loop if args.sampler == "plms" else None
+        if loop:
+            z = loop(lambda x, t, i: guided(x, t), shape, tables, rng=rng)
+        else:
+            z = ddim_sample_loop(lambda x, t, i: guided(x, t), shape, tables,
+                                 rng=rng, clip_denoised=False,
+                                 var_type=ModelVarType.FIXED_SMALL)
+    imgs = sd_decode_to_uint8(
+        lambda p, zz: vae.apply(p, zz, method=vae.decode), vparams, z)
+    out = args.out or "txt2img_samples.npz"
+    np.savez(out, arr_0=np.asarray(imgs))
+    print(f"saved {n} samples to {out}")
+    return 0
+
+
+def cmd_nll(args) -> int:
+    """Bits/dim over a dataset (scripts/image_nll.py)."""
+    import jax
+    import jax.numpy as jnp
+    from ..data import load_data
+    from ..models import ModelConfig, create_model, create_tables
+    from ..models.convert import convert_unet, load_torch_state_dict
+    from ..train import calc_bpd_loop
+
+    cfg = ModelConfig(image_size=args.image_size, num_channels=args.num_channels,
+                      num_res_blocks=args.num_res_blocks,
+                      learn_sigma=args.learn_sigma,
+                      noise_schedule=args.noise_schedule,
+                      class_cond=args.class_cond)
+    model = create_model(cfg)
+    params = convert_unet(load_torch_state_dict(args.model_path), model)
+    tables = create_tables(cfg)
+    data = load_data(data_dir=args.data_dir, batch_size=args.batch_size,
+                     image_size=cfg.image_size, class_cond=cfg.class_cond,
+                     deterministic=True)
+    totals = []
+    for i in range(args.num_samples // args.batch_size):
+        batch = next(data)
+        y = jnp.asarray(batch["y"]) if "y" in batch else None
+
+        def model_fn(x_t, t_orig):
+            return (model.apply(params, x_t, t_orig, y) if y is not None
+                    else model.apply(params, x_t, t_orig))
+
+        out = calc_bpd_loop(tables, model_fn, jnp.asarray(batch["x"]),
+                            jax.random.key(i))
+        totals.extend(np.asarray(out["total_bpd"]).tolist())
+        logger.log(f"batch {i}: mean bpd {np.mean(totals):.4f}")
+    print(json.dumps({"bpd": float(np.mean(totals))}))
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     from ..fid import (FIDEvaluator, FIDStats, load_fid_inception_params,
                        make_inception_feature_fn)
@@ -270,6 +437,30 @@ def main(argv=None) -> int:
         resblock_updown=True, use_new_attention_order=True, use_bf16=True,
         channel_mult="", timestep_respacing=""))
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser("search-sd", help="Stable Diffusion latent search")
+    add_dict_to_argparser(p, dict(
+        ckpt="", clip_vocab="", clip_merges="", captions="", inception_path="",
+        ref_stats="", save_dir="", sampler="plms", scale=7.5, H=512, W=512,
+        time_step=4, num_samples=1000, batch_size=6, num_prompts=2000,
+        max_epochs=10, select_num=10, population_num=50, m_prob=0.25,
+        crossover_num=15, mutation_num=25, use_ddim_init_x=True, seed=0,
+        candidate_chunk=2, use_bf16=True))
+    p.set_defaults(fn=cmd_search_sd)
+
+    p = sub.add_parser("txt2img", help="text-to-image sampling (SD)")
+    add_dict_to_argparser(p, dict(
+        ckpt="", clip_vocab="", clip_merges="", prompt="", from_file="",
+        sampler="plms", scale=7.5, H=512, W=512, steps=50, timesteps="",
+        n_samples=4, seed=42, out="", use_bf16=True))
+    p.set_defaults(fn=cmd_txt2img)
+
+    p = sub.add_parser("nll", help="bits/dim over a dataset")
+    add_dict_to_argparser(p, dict(
+        model_path="", data_dir="", num_samples=100, batch_size=10,
+        image_size=64, num_channels=192, num_res_blocks=3, learn_sigma=True,
+        noise_schedule="cosine", class_cond=True))
+    p.set_defaults(fn=cmd_nll)
 
     p = sub.add_parser("evaluate", help="FID/IS of sample npz vs reference")
     add_dict_to_argparser(p, dict(sample_batch="", ref_stats="",

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["FeatureStats", "FIDStats", "accumulate_stats", "finalize_stats",
-           "frechet_distance", "inception_score"]
+           "frechet_distance", "frechet_distance_eigh", "inception_score"]
 
 
 class FeatureStats(NamedTuple):
@@ -103,6 +103,27 @@ def frechet_distance(s1: FIDStats, s2: FIDStats, eps: float = 1e-6) -> float:
         covmean = covmean.real
     return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
                  - 2 * np.trace(covmean))
+
+
+def frechet_distance_eigh(s1: FIDStats, s2: FIDStats) -> float:
+    """Frechet distance via two symmetric eigendecompositions.
+
+    tr sqrt(S1 S2) = sum sqrt(eig(S1 S2)) and, for PSD S1,
+    eig(S1 S2) = eig(sqrt(S1) S2 sqrt(S1)) — a symmetric PSD problem, so two
+    eigh calls replace the reference's dense Schur sqrtm
+    (evaluator_v1.py:109-157), which dominates per-candidate host time
+    during search (~10x faster at D=2048, same value to ~1e-6 relative).
+    """
+    mu1, sigma1 = s1.mu, s1.sigma
+    mu2, sigma2 = s2.mu, s2.sigma
+    diff = mu1 - mu2
+    w, v = np.linalg.eigh(sigma1)
+    sqrt_s1 = (v * np.sqrt(np.maximum(w, 0.0))) @ v.T
+    inner = sqrt_s1 @ sigma2 @ sqrt_s1
+    ev = np.linalg.eigvalsh((inner + inner.T) / 2.0)
+    tr_sqrt = np.sqrt(np.maximum(ev, 0.0)).sum()
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2.0 * tr_sqrt)
 
 
 def inception_score(softmax_probs: np.ndarray, split_size: int = 5000) -> float:

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fid.stats import FeatureStats, FIDStats, finalize_stats, frechet_distance
+from ..fid.stats import (FeatureStats, FIDStats, finalize_stats,
+                         frechet_distance, frechet_distance_eigh)
 from ..utils import logger
 
 __all__ = ["BatchedFIDFitness", "to_uint8"]
@@ -124,5 +125,7 @@ class BatchedFIDFitness:
         out = []
         for i in range(c):
             st = jax.tree_util.tree_map(lambda a, i=i: a[i], stats)
-            out.append(frechet_distance(finalize_stats(st), self.ref_stats))
+            # eigh formulation: ~10x faster than sqrtm per candidate and
+            # equal to ~1e-6 relative (see fid.stats.frechet_distance_eigh)
+            out.append(frechet_distance_eigh(finalize_stats(st), self.ref_stats))
         return out

@@ -118,3 +118,28 @@ class TestEvaluator:
         # ragged final batch (padding path) must not corrupt stats
         fid_like_ragged = FIDEvaluator(feature_fn, ref, batch_size=137).cal_fid(like)
         np.testing.assert_allclose(fid_like, fid_like_ragged, rtol=1e-3, atol=1e-4)
+
+
+class TestFrechetEigh:
+    def test_matches_sqrtm(self):
+        from autodiffusion_tpu.fid import frechet_distance
+        from autodiffusion_tpu.fid.stats import frechet_distance_eigh
+        rng = np.random.RandomState(7)
+        a = FIDStats.from_features(rng.randn(500, 64) * 1.2 + 0.3)
+        b = FIDStats.from_features(rng.randn(400, 64))
+        d1 = frechet_distance(a, b)
+        d2 = frechet_distance_eigh(a, b)
+        np.testing.assert_allclose(d2, d1, rtol=1e-6)
+
+    def test_faster_than_sqrtm_at_2048(self):
+        import time
+        from autodiffusion_tpu.fid import frechet_distance
+        from autodiffusion_tpu.fid.stats import frechet_distance_eigh
+        rng = np.random.RandomState(8)
+        f = rng.randn(3000, 512)
+        a = FIDStats.from_features(f * 1.1)
+        b = FIDStats.from_features(rng.randn(3000, 512))
+        t0 = time.time(); d1 = frechet_distance(a, b); t_sqrtm = time.time() - t0
+        t0 = time.time(); d2 = frechet_distance_eigh(a, b); t_eigh = time.time() - t0
+        np.testing.assert_allclose(d2, d1, rtol=1e-5)
+        assert t_eigh < t_sqrtm, (t_eigh, t_sqrtm)
