@@ -371,6 +371,72 @@ def cmd_nll(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Train/fine-tune a diffusion UNet (scripts/image_train.py +
+    train_util.py TrainLoop, incl. the OFA respacing curricula)."""
+    import jax
+    import jax.numpy as jnp
+    from ..data import load_data
+    from ..models import ModelConfig, create_model, create_tables
+    from ..models.convert import convert_unet, load_torch_state_dict
+    from ..parallel import data_sharder, make_mesh, replicate, shard_batch
+    from ..train import (TrainLoop, create_named_schedule_sampler,
+                         create_train_state, make_train_step,
+                         ofa_random_select_tables_fn, ofa_tables_fn)
+
+    logger.configure(args.save_dir or None)
+    cfg = ModelConfig(
+        image_size=args.image_size, num_channels=args.num_channels,
+        num_res_blocks=args.num_res_blocks,
+        num_head_channels=args.num_head_channels,
+        attention_resolutions=args.attention_resolutions,
+        class_cond=args.class_cond, learn_sigma=args.learn_sigma,
+        noise_schedule=args.noise_schedule, use_bf16=args.use_bf16,
+        dropout=args.dropout, resblock_updown=args.resblock_updown,
+        use_scale_shift_norm=args.use_scale_shift_norm,
+        use_new_attention_order=args.use_new_attention_order)
+    model = create_model(cfg)
+    if args.resume_checkpoint:
+        params = convert_unet(load_torch_state_dict(args.resume_checkpoint), model)
+    else:
+        x1 = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+        a = [x1, jnp.zeros((1,))]
+        if cfg.class_cond:
+            a.append(jnp.zeros((1,), jnp.int32))
+        params = model.init(jax.random.key(args.seed), *a)
+
+    mesh = make_mesh()
+    params = replicate(mesh, params)
+    state = create_train_state(
+        params, lr=args.lr, weight_decay=args.weight_decay,
+        ema_rates=tuple(float(r) for r in str(args.ema_rate).split(",")),
+        lr_anneal_steps=args.lr_anneal_steps)
+    step = jax.jit(make_train_step(model.apply, class_cond=cfg.class_cond,
+                                   microbatches=max(1, args.batch_size //
+                                                    (args.microbatch or args.batch_size)),
+                                   data_sharder=data_sharder(mesh)))
+    tables_fn = None
+    if args.ofa_mode == "random_section":
+        tables_fn = ofa_tables_fn(cfg.noise_schedule, cfg.diffusion_steps)
+    elif args.ofa_mode == "random_select":
+        tables_fn = ofa_random_select_tables_fn(cfg.noise_schedule,
+                                                cfg.diffusion_steps)
+    data = map(lambda b: shard_batch(mesh, b),
+               load_data(data_dir=args.data_dir, batch_size=args.batch_size,
+                         image_size=cfg.image_size, class_cond=cfg.class_cond))
+    loop = TrainLoop(
+        state=state, step_fn=step, data=data,
+        schedule_sampler=create_named_schedule_sampler(
+            args.schedule_sampler, cfg.diffusion_steps),
+        tables=create_tables(cfg), tables_fn=tables_fn,
+        batch_size=args.batch_size, lr_anneal_steps=args.lr_anneal_steps,
+        log_interval=args.log_interval, save_interval=args.save_interval,
+        save_dir=args.save_dir, seed=args.seed)
+    with mesh:
+        loop.run_loop(max_steps=args.max_steps or None)
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     from ..fid import (FIDEvaluator, FIDStats, load_fid_inception_params,
                        make_inception_feature_fn)
@@ -454,6 +520,19 @@ def main(argv=None) -> int:
         sampler="plms", scale=7.5, H=512, W=512, steps=50, timesteps="",
         n_samples=4, seed=42, out="", use_bf16=True))
     p.set_defaults(fn=cmd_txt2img)
+
+    p = sub.add_parser("train", help="train/fine-tune a diffusion UNet")
+    add_dict_to_argparser(p, dict(
+        data_dir="", save_dir="", resume_checkpoint="", lr=1e-4,
+        weight_decay=0.0, lr_anneal_steps=0, batch_size=16, microbatch=0,
+        ema_rate="0.9999", log_interval=10, save_interval=10000,
+        schedule_sampler="uniform", ofa_mode="", max_steps=0, seed=0,
+        image_size=64, num_channels=192, num_res_blocks=3,
+        num_head_channels=64, attention_resolutions="32,16,8",
+        class_cond=True, learn_sigma=True, noise_schedule="cosine",
+        dropout=0.1, resblock_updown=True, use_scale_shift_norm=True,
+        use_new_attention_order=True, use_bf16=True))
+    p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("nll", help="bits/dim over a dataset")
     add_dict_to_argparser(p, dict(
