@@ -90,9 +90,9 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context=None):
         ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
-        x = x + CrossAttention(self.heads, self.dim_head, self.dtype,
+        x = x + CrossAttention(self.heads, self.dim_head, dtype=self.dtype,
                                name="attn1")(ln("norm1")(x).astype(x.dtype))
-        x = x + CrossAttention(self.heads, self.dim_head, self.dtype,
+        x = x + CrossAttention(self.heads, self.dim_head, dtype=self.dtype,
                                name="attn2")(ln("norm2")(x).astype(x.dtype), context)
         x = x + FeedForward(dtype=self.dtype, name="ff")(
             ln("norm3")(x).astype(x.dtype))
@@ -117,7 +117,8 @@ class SpatialTransformer(nn.Module):
         x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, inner)
         for d in range(self.depth):
-            x = BasicTransformerBlock(self.heads, self.dim_head, self.dtype,
+            x = BasicTransformerBlock(self.heads, self.dim_head,
+                                      dtype=self.dtype,
                                       name=f"block_{d}")(x, context)
         x = x.reshape(b, h, w, inner)
         x = nn.Conv(c, (1, 1), kernel_init=zero_init, dtype=self.dtype,

@@ -17,8 +17,13 @@ Only the tiny (mu, sigma) pair and the final scipy sqrtm run on host.
 Caller supplies:
   payload_fn(candidate) -> pytree of arrays whose leading axis is K-like
       (ScheduleTables fields, keep-mask matrices, time vectors...)
-  sample_fn(payload, rng, batch_idx) -> uint8 [N, H, W, 3] where N is the
-      leading axis length of the per-sample payload arrays
+  sample_fn(static_payload, payload, rng, batch_idx) -> uint8 [N, H, W, 3]
+      where N is the leading axis length of the per-sample payload arrays
+  static_payload: candidate-independent device state (model/classifier
+      params, context banks). It is passed through jit as an ARGUMENT on
+      every call — never close over large device arrays in the sampled
+      function: jit lowering materializes closure constants on host, which
+      is pathologically slow on tunneled-TPU environments.
 """
 
 from __future__ import annotations
@@ -55,6 +60,7 @@ class BatchedFIDFitness:
     def __init__(self, *, payload_fn: Callable, sample_fn: Callable,
                  feature_fn: Callable, ref_stats: FIDStats,
                  num_samples: int, batch_size: int,
+                 static_payload: Any = (),
                  candidate_chunk: int = 8, feature_dim: int = 2048,
                  seed: int = 0,
                  group_key_fn: Optional[Callable] = None):
@@ -63,6 +69,7 @@ class BatchedFIDFitness:
         self.ref_stats = ref_stats
         self.num_samples = num_samples
         self.batch_size = batch_size
+        self.static_payload = static_payload
         self.candidate_chunk = candidate_chunk
         self.feature_dim = feature_dim
         self.seed = seed
@@ -71,9 +78,9 @@ class BatchedFIDFitness:
         self.group_key_fn = group_key_fn or (lambda c: len(c[0]) if
                                              isinstance(c[0], tuple) else len(c))
 
-        def chunk_step(per_sample_payload, stats, rng, batch_idx):
+        def chunk_step(static, per_sample_payload, stats, rng, batch_idx):
             c = stats.n.shape[0]
-            imgs = sample_fn(per_sample_payload, rng, batch_idx)
+            imgs = sample_fn(static, per_sample_payload, rng, batch_idx)
             feats = feature_fn(imgs)["pool3"].astype(stats.s1.dtype)
             b = feats.shape[0] // c
             by_cand = feats.reshape(c, b, -1)
@@ -120,7 +127,8 @@ class BatchedFIDFitness:
         base_rng = jax.random.key(self.seed)
         for b in range(n_batches):
             rng = jax.random.fold_in(jax.random.fold_in(base_rng, self._eval_count), b)
-            stats = self._chunk_step(per_sample, stats, rng, jnp.int32(b))
+            stats = self._chunk_step(self.static_payload, per_sample, stats,
+                                     rng, jnp.int32(b))
         self._eval_count += 1
         out = []
         for i in range(c):

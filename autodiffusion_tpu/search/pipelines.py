@@ -62,7 +62,8 @@ def make_adm_fitness(*, model, params, image_size: int,
                               base_num_steps=base_num_steps)
         return {"tables": tables}
 
-    def sample_fn(payload, rng, batch_idx):
+    def sample_fn(static, payload, rng, batch_idx):
+        p, cp = static
         tables = payload["tables"]
         n = tables.betas.shape[0]          # total batch = chunk * batch_size
         label_rng, noise_rng = jax.random.split(rng)
@@ -73,14 +74,14 @@ def make_adm_fitness(*, model, params, image_size: int,
             kw = {}
             if joint:
                 kw["keep_mask"] = payload["keep_masks"][:, i]   # [N, L]
-            return model.apply(params, x, t, y, **kw) if y is not None \
-                else model.apply(params, x, t, **kw)
+            return model.apply(p, x, t, y, **kw) if y is not None \
+                else model.apply(p, x, t, **kw)
 
         cond = None
         if classifier is not None:
             assert y is not None, "classifier guidance needs class labels"
             cond = classifier_cond_fn(
-                lambda x, t: classifier.apply(classifier_params, x, t),
+                lambda x, t: classifier.apply(cp, x, t),
                 y, classifier_scale)
 
         shape = (n, image_size, image_size, 3)
@@ -96,4 +97,5 @@ def make_adm_fitness(*, model, params, image_size: int,
     return BatchedFIDFitness(
         payload_fn=payload_fn, sample_fn=sample_fn, feature_fn=feature_fn,
         ref_stats=ref_stats, num_samples=num_samples, batch_size=batch_size,
+        static_payload=(params, classifier_params),
         candidate_chunk=candidate_chunk, seed=seed, feature_dim=feature_dim)

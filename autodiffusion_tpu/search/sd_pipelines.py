@@ -70,7 +70,8 @@ def make_sd_fitness(*, unet, unet_params, vae, vae_params,
                                  linear_end=linear_end)
         return {"tables": tables}
 
-    def sample_fn(payload, rng, batch_idx):
+    def sample_fn(static, payload, rng, batch_idx):
+        uparams, vparams, bank, uncond = static
         arrs = jax.tree_util.tree_leaves(payload)
         n = arrs[0].shape[0]               # total batch = chunk * batch_size
         # deterministic rolling prompt window, like the reference's loader
@@ -78,8 +79,8 @@ def make_sd_fitness(*, unet, unet_params, vae, vae_params,
         # same prompts
         start = (batch_idx * batch_size) % n_prompts
         idx = (start + jnp.arange(n) % batch_size) % n_prompts
-        ctx = context_bank[idx]
-        uc = jnp.broadcast_to(uncond_context[None], ctx.shape)
+        ctx = bank[idx]
+        uc = jnp.broadcast_to(uncond[None], ctx.shape)
         shape = (n, latent_hw, latent_hw, latent_ch)
 
         def guided_eps(x, t):
@@ -87,7 +88,7 @@ def make_sd_fitness(*, unet, unet_params, vae, vae_params,
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
             c2 = jnp.concatenate([uc, ctx], axis=0)
-            out = unet.apply(unet_params, x2, t2, c2)
+            out = unet.apply(uparams, x2, t2, c2)
             e_u, e_c = out[:n], out[n:]
             return e_u + guidance_scale * (e_c - e_u)
 
@@ -106,9 +107,10 @@ def make_sd_fitness(*, unet, unet_params, vae, vae_params,
         else:
             raise ValueError(sampler)
         return sd_decode_to_uint8(
-            lambda p, zz: vae.apply(p, zz, method=vae.decode), vae_params, z)
+            lambda p, zz: vae.apply(p, zz, method=vae.decode), vparams, z)
 
     return BatchedFIDFitness(
         payload_fn=payload_fn, sample_fn=sample_fn, feature_fn=feature_fn,
         ref_stats=ref_stats, num_samples=num_samples, batch_size=batch_size,
+        static_payload=(unet_params, vae_params, context_bank, uncond_context),
         candidate_chunk=candidate_chunk, seed=seed, feature_dim=feature_dim)

@@ -156,7 +156,7 @@ class TestBatchedFitness:
         def payload_fn(cand):
             return {"v": jnp.asarray([float(cand[0])])}
 
-        def sample_fn(payload, rng, batch_idx):
+        def sample_fn(static, payload, rng, batch_idx):
             base = payload["v"][:, 0] / 1000.0 * 2 - 1       # [N]
             img = base[:, None, None, None] * jnp.ones((1, 4, 4, 3))
             return to_uint8(img + 0.01 * jax.random.normal(rng, img.shape))
