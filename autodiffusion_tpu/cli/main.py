@@ -296,13 +296,21 @@ def cmd_txt2img(args) -> int:
     n = len(prompts)
     shape = (n, args.H // 8, args.W // 8, 4)
 
-    def guided(x, t):
+    # per-step guidance mask (txt2img_prompt_mask.py ablation: steps with
+    # mask 0 run unconditional-only)
+    pmask = (jnp.asarray(ast.literal_eval(args.prompt_mask), jnp.float32)
+             if args.prompt_mask else None)
+
+    def guided(x, t, i=None):
         x2 = jnp.concatenate([x, x])
         t2 = jnp.concatenate([t, t])
         c2 = jnp.concatenate([uc, ctx])
         out = unet.apply(uparams, x2, t2, c2)
         e_u, e_c = out[:n], out[n:]
-        return e_u + args.scale * (e_c - e_u)
+        s = args.scale
+        if pmask is not None and i is not None:
+            s = s * pmask[i]
+        return e_u + s * (e_c - e_u)
 
     rng = jax.random.key(args.seed)
     if args.timesteps:
@@ -321,9 +329,9 @@ def cmd_txt2img(args) -> int:
         tables = build_sd_tables(use)
         loop = plms_sample_loop if args.sampler == "plms" else None
         if loop:
-            z = loop(lambda x, t, i: guided(x, t), shape, tables, rng=rng)
+            z = loop(lambda x, t, i: guided(x, t, i), shape, tables, rng=rng)
         else:
-            z = ddim_sample_loop(lambda x, t, i: guided(x, t), shape, tables,
+            z = ddim_sample_loop(lambda x, t, i: guided(x, t, i), shape, tables,
                                  rng=rng, clip_denoised=False,
                                  var_type=ModelVarType.FIXED_SMALL)
     imgs = sd_decode_to_uint8(
@@ -518,7 +526,7 @@ def main(argv=None) -> int:
     add_dict_to_argparser(p, dict(
         ckpt="", clip_vocab="", clip_merges="", prompt="", from_file="",
         sampler="plms", scale=7.5, H=512, W=512, steps=50, timesteps="",
-        n_samples=4, seed=42, out="", use_bf16=True))
+        prompt_mask="", n_samples=4, seed=42, out="", use_bf16=True))
     p.set_defaults(fn=cmd_txt2img)
 
     p = sub.add_parser("train", help="train/fine-tune a diffusion UNet")

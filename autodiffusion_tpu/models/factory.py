@@ -137,6 +137,32 @@ class ClassifierConfig:
         return cls(**base)
 
 
+def create_sr_model(cfg: ModelConfig, large_size: int = 256,
+                    small_size: int = 64):
+    """Super-resolution UNet (sr_model_and_diffusion_defaults +
+    sr_create_model_and_diffusion, script_util.py:298-414): a UNet at
+    large_size whose input concatenates the upsampled low-res conditioning
+    (in_channels 6 via SuperResModel)."""
+    from .unet import SuperResModel
+
+    unet = UNetModel(
+        model_channels=cfg.num_channels,
+        out_channels=6 if cfg.learn_sigma else 3,
+        num_res_blocks=cfg.num_res_blocks,
+        attention_ds=attention_ds(large_size, cfg.attention_resolutions),
+        channel_mult=parse_channel_mult(large_size, cfg.channel_mult),
+        dropout=cfg.dropout,
+        num_classes=NUM_CLASSES if cfg.class_cond else None,
+        num_heads=cfg.num_heads,
+        num_head_channels=cfg.num_head_channels,
+        use_scale_shift_norm=cfg.use_scale_shift_norm,
+        resblock_updown=cfg.resblock_updown,
+        use_new_attention_order=cfg.use_new_attention_order,
+        dtype=jnp.bfloat16 if cfg.use_bf16 else jnp.float32,
+    )
+    return SuperResModel(unet=unet)
+
+
 def create_classifier(cfg: ClassifierConfig) -> EncoderUNetModel:
     return EncoderUNetModel(
         model_channels=cfg.classifier_width,

@@ -84,18 +84,27 @@ def main():
     t0 = time.time()
     compiled = lowered.compile()
     t_compile = time.time() - t0
-    flops = compiled.cost_analysis().get("flops", 0.0)
+    # XLA cost analysis counts a While (scan) body once; the K-step DDIM
+    # scan therefore under-reports by ~K. Scale to per-call totals.
+    flops = compiled.cost_analysis().get("flops", 0.0) * K
 
-    compiled(params, cparams, per_sample, jax.random.key(0)).block_until_ready()
-    t0 = time.time()
-    reps = 3
-    for i in range(reps):
+    # NB: on the axon relay block_until_ready can return before execution
+    # finishes; a host readback of a slice is the reliable sync
+    def run_sync(i):
         out = compiled(params, cparams, per_sample, jax.random.key(i))
-    out.block_until_ready()
-    dt = time.time() - t0
+        np.asarray(out[0, 0, 0])
+        return out
 
-    imgs_per_sec = reps * n / dt
-    tflops = reps * flops / dt / 1e12
+    run_sync(0)                                    # warmup
+    times = []
+    for i in range(5):
+        t0 = time.time()
+        run_sync(i)
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+
+    imgs_per_sec = n / dt
+    tflops = flops / dt / 1e12
     print(json.dumps({
         "metric": "adm64_guided_ddim4_candidate_sampling_throughput",
         "value": round(imgs_per_sec, 2),
