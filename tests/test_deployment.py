@@ -1,0 +1,70 @@
+"""Deployment paths: structural pruning, searched-artifact end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autodiffusion_tpu.models import UNetModel
+from autodiffusion_tpu.samplers import ddim_sample_loop
+from autodiffusion_tpu.schedules import build_tables
+from autodiffusion_tpu.search import parse_joint_string
+from autodiffusion_tpu.search.pipelines import keep_masks_for
+
+
+def _tiny():
+    m = UNetModel(model_channels=32, out_channels=6, num_res_blocks=1,
+                  attention_ds=(2,), channel_mult=(1, 2), num_head_channels=32)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = m.init(jax.random.key(0), x, jnp.zeros((1,)))
+    # randomize so residual branches are non-trivial
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.key(5), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)])
+    return m, params
+
+
+class TestStructuralSkip:
+    def test_deployment_sampling_with_published_artifact_format(self):
+        """End-to-end: the published 10-step + skip-layers artifact format
+        drives per-step masked sampling (sample_..._dynamic_subnet.sh)."""
+        m, params = _tiny()
+        art = ("{'timesteps': [744, 137, 647, 856, 305], "
+               "'skip_layers': [[1], [], [3, 5], [], [2]]}")
+        ts, skips = parse_joint_string(art)
+        tables = build_tables(ts, base_schedule="cosine")
+        masks = jnp.asarray(keep_masks_for(skips, m.layer_num))
+
+        def model_fn(x, t, i):
+            return m.apply(params, x, t, keep_mask=masks[i])
+
+        out = ddim_sample_loop(model_fn, (2, 16, 16, 3), tables,
+                               rng=jax.random.key(0))
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_structural_equals_masked_per_step(self):
+        """The deployment-time structural_skip path (real compute savings)
+        matches the search-time mask for a fixed architecture."""
+        m, params = _tiny()
+        skip = frozenset({1, 4})
+        mask = jnp.ones(m.layer_num).at[jnp.array(sorted(skip))].set(0.0)
+        x = jax.random.normal(jax.random.key(1), (2, 16, 16, 3))
+        t = jnp.array([100.0, 500.0])
+        a = m.apply(params, x, t, keep_mask=mask)
+        b = m.apply(params, x, t, structural_skip=skip)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_per_sample_masks_match_per_batch(self):
+        """[B, L] per-sample masks (search batch-folding) == applying each
+        row's [L] mask separately."""
+        m, params = _tiny()
+        x = jax.random.normal(jax.random.key(2), (2, 16, 16, 3))
+        t = jnp.array([100.0, 500.0])
+        m0 = jnp.ones(m.layer_num).at[1].set(0.0)
+        m1 = jnp.ones(m.layer_num).at[4].set(0.0)
+        batched = m.apply(params, x, t, keep_mask=jnp.stack([m0, m1]))
+        sep0 = m.apply(params, x[:1], t[:1], keep_mask=m0)
+        sep1 = m.apply(params, x[1:], t[1:], keep_mask=m1)
+        np.testing.assert_allclose(np.asarray(batched),
+                                   np.concatenate([sep0, sep1]), atol=1e-5)
