@@ -3,13 +3,18 @@
 One kernel covers the framework's attention shapes (SURVEY.md section 5:
 full quadratic attention over <=4096 spatial tokens — ADM QKVAttention and
 SD CrossAttention/SpatialTransformer): online-softmax blocked attention, so
-the [T, S] logits matrix never materializes in HBM. Inputs are
-[B, H, T, D] with optional separate source length S (cross-attention).
+the [T, S] logits matrix never materializes in HBM.
+
+The KV dimension is a *grid* axis (innermost, sequentially iterated on TPU)
+with the softmax state carried in VMEM scratch — this rides the Pallas
+pipeline's automatic double-buffering of K/V blocks instead of hand-rolled
+DMA. Inputs are [B, H, T, D] with optional separate source length S
+(cross-attention).
 
 Numerics: logits and the softmax state run in float32 regardless of input
 dtype (matching the f32-softmax policy of the einsum path); output is cast
-back to the value dtype. The kernel requires D <= 128 (one lane tile) and
-pads T/S internally to block multiples with -inf masking.
+back to the value dtype. Requires D <= 128 (one lane tile); T/S are padded
+to block multiples with masking.
 """
 
 from __future__ import annotations
@@ -28,39 +33,40 @@ __all__ = ["flash_attention"]
 _NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_valid: int,
-                 block_kv: int):
-    """Grid: (B*H, T_blocks). Refs: q [1, bq, D], k/v [1, S_pad, D]."""
-    q = q_ref[0].astype(jnp.float32) * scale
-    bq, d = q.shape
-    s_pad = k_ref.shape[1]
-    n_kv = s_pad // block_kv
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, acc, m_i, l_i, *,
+                 scale: float, s_valid: int, block_kv: int):
+    """Grid (BH, T_blocks, S_blocks); S innermost. Scratch carries the
+    online-softmax state across S blocks."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
 
-    def body(i, carry):
-        acc, m_i, l_i = carry
-        k = k_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [bq, block_kv]
-        # mask padded source positions
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1)
-        logits = jnp.where(col + i * block_kv < s_valid, logits, _NEG_INF)
+    @pl.when(j == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        m_i[...] = jnp.full_like(m_i, _NEG_INF)
+        l_i[...] = jnp.zeros_like(l_i)
 
-        m_new = jnp.maximum(m_i, logits.max(axis=1, keepdims=True))
-        p = jnp.exp(logits - m_new)
-        alpha = jnp.exp(m_i - m_new)
-        l_new = l_i * alpha + p.sum(axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
+    q = q_ref[0].astype(jnp.float32) * scale            # [bq, d]
+    k = k_ref[0].astype(jnp.float32)                    # [bk, d]
+    v = v_ref[0].astype(jnp.float32)
+    logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    bq = logits.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1)
+    logits = jnp.where(col + j * block_kv < s_valid, logits, _NEG_INF)
 
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, _, l_i = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+    m_prev, l_prev = m_i[...], l_i[...]
+    m_new = jnp.maximum(m_prev, logits.max(axis=1, keepdims=True))
+    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_i[...] = m_new
+    l_i[...] = l_prev * alpha + p.sum(axis=1, keepdims=True)
+    acc[...] = acc[...] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _():
+        o_ref[0] = (acc[...] / jnp.maximum(l_i[...], 1e-30)).astype(o_ref.dtype)
 
 
 def _pad_to(x, axis, mult):
@@ -75,34 +81,41 @@ def _pad_to(x, axis, mult):
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    *, block_q: int = 128, block_kv: int = 128,
+                    *, block_q: int = 256, block_kv: int = 512,
                     interpret: bool = False) -> jnp.ndarray:
     """softmax(q k^T / sqrt(D)) v for q [B,H,T,D], k/v [B,H,S,D]."""
     b, h, t, d = q.shape
     s = k.shape[2]
     assert d <= 128, f"head dim {d} > 128: split heads further"
+    block_q = min(block_q, max(128, t))
+    block_kv = min(block_kv, max(128, s))
     scale = 1.0 / np.sqrt(d)
 
     qp = _pad_to(q.reshape(b * h, t, d), 1, block_q)
     kp = _pad_to(k.reshape(b * h, s, d), 1, block_kv)
     vp = _pad_to(v.reshape(b * h, s, d), 1, block_kv)
-    t_pad = qp.shape[1]
+    t_pad, s_pad = qp.shape[1], kp.shape[1]
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, s_valid=s,
                           block_kv=block_kv),
-        grid=(b * h, t_pad // block_q),
+        grid=(b * h, t_pad // block_q, s_pad // block_kv),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, block_q, d), lambda i, tq, j: (i, tq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kp.shape[1], d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, block_kv, d), lambda i, tq, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, vp.shape[1], d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, block_kv, d), lambda i, tq, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, tq, j: (i, tq, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(qp.shape, v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :t].reshape(b, h, t, d)
