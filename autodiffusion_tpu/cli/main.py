@@ -342,6 +342,61 @@ def cmd_txt2img(args) -> int:
     return 0
 
 
+def cmd_img2img(args) -> int:
+    """Image-to-image: encode init image, diffuse to strength*K, denoise
+    (sd/scripts/img2img.py semantics: t_enc = int(strength * steps))."""
+    import ast
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from ..models.vae import SD_SCALE_FACTOR
+    from ..samplers import ddim_sample_loop
+    from ..samplers.diffusion import ModelVarType, q_sample
+    from ..schedules import build_sd_tables, make_ddim_timesteps
+    from ..search.sd_pipelines import sd_decode_to_uint8
+
+    unet, uparams, vae, vparams, clip, cparams, tok = _sd_stack(args)
+    img = Image.open(args.init_img).convert("RGB")
+    img = img.resize((args.W, args.H), Image.LANCZOS)
+    x = jnp.asarray(np.array(img), jnp.float32)[None] / 127.5 - 1.0
+    mean, _ = vae.apply(vparams, x, method=vae.encode)
+    z0 = mean * SD_SCALE_FACTOR
+    n = args.n_samples
+    z0 = jnp.tile(z0, (n, 1, 1, 1))
+
+    prompts = [args.prompt] * n
+    ctx = clip.apply(cparams, jnp.asarray(tok(prompts)))
+    uc = clip.apply(cparams, jnp.asarray(tok([""] * n)))
+
+    steps = (ast.literal_eval(args.timesteps) if args.timesteps
+             else make_ddim_timesteps("uniform", args.steps, 1000))
+    tables = build_sd_tables(steps)
+    t_enc = max(1, int(args.strength * tables.num_steps))
+    sub = jax.tree_util.tree_map(lambda a: a[..., :t_enc], tables)
+
+    def guided(x_, t, i):
+        x2 = jnp.concatenate([x_, x_])
+        t2 = jnp.concatenate([t, t])
+        c2 = jnp.concatenate([uc, ctx])
+        out = unet.apply(uparams, x2, t2, c2)
+        e_u, e_c = out[:n], out[n:]
+        return e_u + args.scale * (e_c - e_u)
+
+    rng = jax.random.key(args.seed)
+    noise_rng, rng = jax.random.split(rng)
+    z_enc = q_sample(sub, z0, jnp.full((n,), t_enc - 1),
+                     jax.random.normal(noise_rng, z0.shape))
+    z = ddim_sample_loop(guided, z_enc.shape, sub, rng=rng,
+                         clip_denoised=False,
+                         var_type=ModelVarType.FIXED_SMALL, noise=z_enc)
+    imgs = sd_decode_to_uint8(
+        lambda p, zz: vae.apply(p, zz, method=vae.decode), vparams, z)
+    out = args.out or "img2img_samples.npz"
+    np.savez(out, arr_0=np.asarray(imgs))
+    print(f"saved {n} samples to {out}")
+    return 0
+
+
 def cmd_nll(args) -> int:
     """Bits/dim over a dataset (scripts/image_nll.py)."""
     import jax
@@ -528,6 +583,13 @@ def main(argv=None) -> int:
         sampler="plms", scale=7.5, H=512, W=512, steps=50, timesteps="",
         prompt_mask="", n_samples=4, seed=42, out="", use_bf16=True))
     p.set_defaults(fn=cmd_txt2img)
+
+    p = sub.add_parser("img2img", help="image-to-image (SD)")
+    add_dict_to_argparser(p, dict(
+        ckpt="", clip_vocab="", clip_merges="", prompt="", init_img="",
+        strength=0.75, scale=7.5, H=512, W=512, steps=50, timesteps="",
+        n_samples=2, seed=42, out="", use_bf16=True))
+    p.set_defaults(fn=cmd_img2img)
 
     p = sub.add_parser("train", help="train/fine-tune a diffusion UNet")
     add_dict_to_argparser(p, dict(

@@ -123,7 +123,9 @@ class AttentionBlock(nn.Module):
     num_heads: int = 1
     num_head_channels: int = -1
     new_order: bool = True
-    use_flash: bool = False
+    # "auto": Pallas flash kernel on TPU for long token sequences (see
+    # models/attention.py and BENCH_NOTES.md); False forces einsum
+    use_flash: Any = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -135,6 +137,12 @@ class AttentionBlock(nn.Module):
             assert c % self.num_head_channels == 0, (c, self.num_head_channels)
             heads = c // self.num_head_channels
         hd = c // heads
+        tokens = hgt * wid
+        if self.use_flash == "auto":
+            flash = (jax.default_backend() == "tpu" and hd <= 128
+                     and tokens >= 1024)
+        else:
+            flash = bool(self.use_flash) and hd <= 128
 
         xf = x.reshape(b, hgt * wid, c)
         qkv = nn.DenseGeneral(3 * c, dtype=self.dtype, name="qkv")(
@@ -148,7 +156,7 @@ class AttentionBlock(nn.Module):
             qkv = qkv.reshape(b, -1, heads, 3 * hd)
             q, k, v = jnp.split(qkv, 3, axis=-1)                       # [b,t,h,hd]
 
-        if self.use_flash and hd <= 128:
+        if flash:
             from ..ops import flash_attention
             a = flash_attention(q.transpose(0, 2, 1, 3),
                                 k.transpose(0, 2, 1, 3),

@@ -3,6 +3,7 @@
 from .losses import (LossType, calc_bpd_loop,
                      discretized_gaussian_log_likelihood, normal_kl,
                      training_losses, vb_terms_bpd)
+from .classifier import classifier_accuracy, make_classifier_train_step
 from .loop import TrainLoop, ofa_random_select_tables_fn, ofa_tables_fn
 from .resample import (LossSecondMomentResampler, UniformSampler,
                        create_named_schedule_sampler)
@@ -14,4 +15,5 @@ __all__ = [
     "UniformSampler", "create_named_schedule_sampler", "TrainState",
     "create_train_state", "make_train_step", "TrainLoop",
     "ofa_random_select_tables_fn", "ofa_tables_fn",
+    "classifier_accuracy", "make_classifier_train_step",
 ]
