@@ -23,7 +23,7 @@ import sys
 import numpy as np
 
 from ..utils import logger
-from ..utils.config import add_dict_to_argparser, str2bool
+from ..utils.config import add_dict_to_argparser
 
 
 def _search_defaults():

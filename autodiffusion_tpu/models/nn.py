@@ -57,10 +57,6 @@ class GroupNorm32(nn.Module):
         return h.astype(orig_dtype)
 
 
-def normalization(x: jnp.ndarray, name: str = "norm") -> jnp.ndarray:
-    raise NotImplementedError("use GroupNorm32 module directly")
-
-
 class Upsample(nn.Module):
     """2x nearest-neighbor upsample, optional 3x3 conv (unet.py:81-109)."""
 

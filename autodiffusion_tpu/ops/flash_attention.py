@@ -79,11 +79,45 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
+def _reference_attention(q, k, v):
+    """Differentiable einsum attention (for the custom backward)."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k).astype(jnp.float32) / np.sqrt(d)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", w, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, block_q, block_kv, interpret):
+    return _flash_forward(q, k, v, block_q, block_kv, interpret)
+
+
+def _flash_fwd(q, k, v, block_q, block_kv, interpret):
+    return _flash(q, k, v, block_q, block_kv, interpret), (q, k, v)
+
+
+def _flash_bwd(block_q, block_kv, interpret, res, g):
+    # backward recomputes attention via the einsum formulation — classifier
+    # guidance differentiates through attention (jax.grad inside the
+    # sampling scan), so the kernel must be differentiable
+    q, k, v = res
+    _, vjp = jax.vjp(_reference_attention, q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     *, block_q: int = 256, block_kv: int = 512,
                     interpret: bool = False) -> jnp.ndarray:
     """softmax(q k^T / sqrt(D)) v for q [B,H,T,D], k/v [B,H,S,D]."""
+    return _flash(q, k, v, block_q, block_kv, interpret)
+
+
+def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   block_q: int, block_kv: int, interpret: bool) -> jnp.ndarray:
     b, h, t, d = q.shape
     s = k.shape[2]
     assert d <= 128, f"head dim {d} > 128: split heads further"

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..schedules import ScheduleTables
 
 __all__ = [
-    "ModelMeanType", "ModelVarType", "PSampleOutput",
+    "ModelMeanType", "ModelVarType",
     "q_sample", "q_posterior_mean_variance", "p_mean_variance",
     "p_sample_loop", "ddim_sample_loop",
 ]
@@ -53,11 +53,6 @@ def _at(arr: jnp.ndarray, i, x_ndim: int) -> jnp.ndarray:
     (gaussian_diffusion.py:910-923 _extract_into_tensor)."""
     v = arr[..., i]
     return v.reshape(v.shape + (1,) * x_ndim)
-
-
-class PSampleOutput(NamedTuple):
-    sample: jnp.ndarray
-    pred_xstart: jnp.ndarray
 
 
 def q_sample(tables: ScheduleTables, x_start, i, noise):

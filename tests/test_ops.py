@@ -47,3 +47,23 @@ class TestFlashAttention:
         v = jnp.ones((1, 1, 64, 32))
         got = flash_attention(q, k, v, block_q=64, block_kv=64, interpret=True)
         np.testing.assert_allclose(np.asarray(got), 1.0, atol=1e-5)
+
+    def test_grad_through_flash_matches_einsum(self):
+        # classifier guidance differentiates through attention; the kernel
+        # must have a working VJP
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.randn(1, 2, 64, 32).astype(np.float32))
+        k = jnp.asarray(rng.randn(1, 2, 64, 32).astype(np.float32))
+        v = jnp.asarray(rng.randn(1, 2, 64, 32).astype(np.float32))
+
+        def loss_flash(q):
+            return flash_attention(q, k, v, block_q=64, block_kv=64,
+                                   interpret=True).sum()
+
+        def loss_ref(q):
+            return reference_attention(q, k, v).sum()
+
+        gf = jax.grad(loss_flash)(q)
+        gr = jax.grad(loss_ref)(q)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=2e-5, rtol=2e-5)
