@@ -515,21 +515,29 @@ def cmd_evaluate(args) -> int:
             ref_arr = z[z.files[0]]
         ref = FIDEvaluator.stats_from_images(feature_fn, ref_arr,
                                              args.batch_size)
-    ev = FIDEvaluator(feature_fn, ref, batch_size=args.batch_size)
+    ref_spatial = (FIDStats.load(args.ref_stats_spatial)
+                   if args.ref_stats_spatial else None)
+    ev = FIDEvaluator(feature_fn, ref, ref_stats_spatial=ref_spatial,
+                      batch_size=args.batch_size)
     metrics = ev.cal_metrics(arr)
     print(json.dumps(metrics))
     return 0
 
 
 def cmd_ref_stats(args) -> int:
-    from ..fid import FIDEvaluator, load_fid_inception_params, make_inception_feature_fn
+    from ..fid import (FIDEvaluator, FIDStats, load_fid_inception_params,
+                       make_inception_feature_fn)
 
     feature_fn = make_inception_feature_fn(
         load_fid_inception_params(args.inception_path))
     with np.load(args.images) as z:
         arr = z[z.files[0]]
-    stats = FIDEvaluator.stats_from_images(feature_fn, arr, args.batch_size)
-    stats.save(args.out)
+    ev = FIDEvaluator(feature_fn, None, batch_size=args.batch_size)  # type: ignore
+    pool3, _, spatial = ev.compute_activations(arr, want_spatial=True)
+    FIDStats.from_features(pool3).save(args.out)
+    if spatial is not None and args.spatial_out:
+        FIDStats.from_features(spatial).save(args.spatial_out)
+        print(f"saved spatial (sFID) stats to {args.spatial_out}")
     print(f"saved reference stats for {arr.shape[0]} images to {args.out}")
     return 0
 
@@ -613,12 +621,14 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("evaluate", help="FID/IS of sample npz vs reference")
     add_dict_to_argparser(p, dict(sample_batch="", ref_stats="",
-                                  inception_path="", batch_size=100))
+                                  ref_stats_spatial="", inception_path="",
+                                  batch_size=100))
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("ref-stats", help="precompute FID reference stats")
     add_dict_to_argparser(p, dict(images="", out="ref_stats.npz",
-                                  inception_path="", batch_size=100))
+                                  spatial_out="", inception_path="",
+                                  batch_size=100))
     p.set_defaults(fn=cmd_ref_stats)
 
     p = sub.add_parser("convert", help="torch checkpoint -> msgpack")
