@@ -94,24 +94,28 @@ class EvolutionSearcher:
         logger.log("random select ........")
         return self._gather_unvisited(self.space.random, num, taken)
 
+    def _rng(self):
+        # reuse the space's seeded rng so runs are reproducible end to end
+        import random as pyrandom
+        return getattr(self.space, "rng", pyrandom)
+
     def _mutations(self, num: int, m_prob: float, taken: set) -> List[Candidate]:
         logger.log("mutation ......")
-        import random as pyrandom
         parents = self.top_k
+        rng = self._rng()
 
         def gen():
-            return self.space.mutate(pyrandom.choice(parents), m_prob)
+            return self.space.mutate(rng.choice(parents), m_prob)
 
         return self._gather_unvisited(gen, num, taken)
 
     def _crossovers(self, num: int, taken: set) -> List[Candidate]:
         logger.log("cross ......")
-        import random as pyrandom
         parents = self.top_k
+        rng = self._rng()
 
         def gen():
-            return self.space.crossover(pyrandom.choice(parents),
-                                        pyrandom.choice(parents))
+            return self.space.crossover(rng.choice(parents), rng.choice(parents))
 
         return self._gather_unvisited(gen, num, taken)
 

@@ -158,10 +158,14 @@ class JointSpace:
     def random(self):
         """Pack steps until the budget is exhausted (reference
         sample_active_subnet, :284-338)."""
-        pool = list(range(self.num_train_steps))
-        self.rng.shuffle(pool)
         lo, hi = self.skip_layer_range
         min_cost = self.layer_num - int(self.layer_num * hi)
+        if self.max_index_number < min_cost:
+            raise ValueError(
+                f"infeasible budget: max_index_number={self.max_index_number} "
+                f"cannot fit one step of >= {min_cost} kept layers")
+        pool = list(range(self.num_train_steps))
+        self.rng.shuffle(pool)
 
         ts: List[int] = []
         skips: List[Tuple[int, ...]] = []
