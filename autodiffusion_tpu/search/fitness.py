@@ -109,6 +109,10 @@ class BatchedFIDFitness:
         return [fids[i] for i in range(len(candidates))]
 
     def _eval_chunk(self, cands: List[Any]) -> List[float]:
+        # pad partial chunks to candidate_chunk (duplicating the last
+        # candidate) so one compilation per K serves every generation
+        n_real = len(cands)
+        cands = list(cands) + [cands[-1]] * (self.candidate_chunk - n_real)
         c = len(cands)
         payloads = [self.payload_fn(x) for x in cands]
         # stack [C, ...] then expand per-sample to [C*B, ...]: sample j
@@ -131,7 +135,7 @@ class BatchedFIDFitness:
                                      rng, jnp.int32(b))
         self._eval_count += 1
         out = []
-        for i in range(c):
+        for i in range(n_real):
             st = jax.tree_util.tree_map(lambda a, i=i: a[i], stats)
             # eigh formulation: ~10x faster than sqrtm per candidate and
             # equal to ~1e-6 relative (see fid.stats.frechet_distance_eigh)
