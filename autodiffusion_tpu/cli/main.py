@@ -201,6 +201,66 @@ def cmd_sample(args) -> int:
     else:
         np.savez(out, arr_0=arr)
     logger.log(f"saved to {out}")
+    if args.save_png_dir:
+        # *_generate_image.py parity: individual PNGs
+        import os
+        from PIL import Image
+        os.makedirs(args.save_png_dir, exist_ok=True)
+        for i, img in enumerate(arr):
+            Image.fromarray(img).save(f"{args.save_png_dir}/{i:06d}.png")
+        logger.log(f"wrote {len(arr)} PNGs to {args.save_png_dir}")
+    return 0
+
+
+def cmd_sr_sample(args) -> int:
+    """Super-resolution sampling: upsample low-res npz conditioning
+    (scripts/super_res_sample.py)."""
+    import jax
+    import jax.numpy as jnp
+    from ..models import ModelConfig, create_sr_model, create_tables
+    from ..search.fitness import to_uint8
+    from ..samplers import ddim_sample_loop, p_sample_loop
+
+    cfg = ModelConfig(image_size=args.large_size,
+                      num_channels=args.num_channels,
+                      num_res_blocks=args.num_res_blocks,
+                      channel_mult=args.channel_mult,
+                      learn_sigma=args.learn_sigma,
+                      noise_schedule=args.noise_schedule,
+                      class_cond=args.class_cond, use_bf16=args.use_bf16)
+    sr = create_sr_model(cfg, large_size=args.large_size,
+                         small_size=args.small_size)
+    with np.load(args.base_samples) as z:
+        low = z[z.files[0]]
+    low = jnp.asarray(low[: args.num_samples], jnp.float32) / 127.5 - 1.0
+    n = low.shape[0]
+    x1 = jnp.zeros((1, args.large_size, args.large_size, 3))
+    init_args = [x1, jnp.zeros((1,)), low[:1]]
+    if cfg.class_cond:
+        init_args.append(jnp.zeros((1,), jnp.int32))
+    if args.model_path:
+        from ..utils.checkpoint import load_tree
+        shapes = jax.eval_shape(lambda: sr.init(jax.random.key(0), *init_args))
+        template = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes)
+        params = load_tree(args.model_path, template)
+    else:
+        params = sr.init(jax.random.key(args.seed), *init_args)
+    tables = create_tables(cfg)
+    y = (jnp.zeros((n,), jnp.int32) if cfg.class_cond else None)
+
+    def model_fn(x, t, i):
+        a = [x, t, low]
+        if y is not None:
+            a.append(y)
+        return sr.apply(params, *a)
+
+    loop = ddim_sample_loop if args.use_ddim else p_sample_loop
+    x0 = loop(model_fn, (n, args.large_size, args.large_size, 3), tables,
+              rng=jax.random.key(args.seed))
+    out = args.out or "sr_samples.npz"
+    np.savez(out, arr_0=np.asarray(to_uint8(x0)))
+    print(f"saved {n} super-resolved samples to {out}")
     return 0
 
 
@@ -572,8 +632,16 @@ def main(argv=None) -> int:
         attention_resolutions="32,16,8", learn_sigma=True,
         noise_schedule="cosine", use_scale_shift_norm=True,
         resblock_updown=True, use_new_attention_order=True, use_bf16=True,
-        channel_mult="", timestep_respacing=""))
+        channel_mult="", timestep_respacing="", save_png_dir=""))
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser("sr-sample", help="super-resolution sampling")
+    add_dict_to_argparser(p, dict(
+        model_path="", base_samples="", large_size=256, small_size=64,
+        num_channels=192, num_res_blocks=2, channel_mult="", learn_sigma=True,
+        noise_schedule="linear", class_cond=True, use_ddim=True,
+        num_samples=16, seed=0, out="", use_bf16=True))
+    p.set_defaults(fn=cmd_sr_sample)
 
     p = sub.add_parser("search-sd", help="Stable Diffusion latent search")
     add_dict_to_argparser(p, dict(
