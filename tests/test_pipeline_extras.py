@@ -167,3 +167,76 @@ class TestCLI:
                 "--num_samples", "10", "--batch_size", "5"]
         with pytest.raises(FileNotFoundError):
             main(argv)  # parses fine, fails at checkpoint load
+
+
+class TestPublishedFlagBundles:
+    """Every published .sh flag bundle must parse through the adt CLI."""
+
+    def _parse(self, argv):
+        import argparse
+        from autodiffusion_tpu.cli.main import main
+        # swap the handler out so we only exercise argument parsing
+        import autodiffusion_tpu.cli.main as m
+        parser_argv = argv + []
+        parsed = {}
+
+        class Stop(Exception):
+            pass
+
+        def fake(args):
+            parsed.update(vars(args))
+            raise Stop
+
+        try:
+            import unittest.mock as mock
+            with mock.patch.multiple(m, cmd_search=fake, cmd_sample=fake,
+                                     cmd_search_sd=fake, cmd_train=fake):
+                # set_defaults captured the original fns; patch at dispatch
+                args_ns = None
+                try:
+                    m.main(parser_argv)
+                except (Stop, FileNotFoundError, Exception):
+                    pass
+        except Stop:
+            pass
+        return parsed
+
+    def test_search_bundle_parses(self):
+        # search_imagenet64_classifier_guidance.sh flags
+        from autodiffusion_tpu.cli.main import main
+        argv = ["search",
+                "--attention_resolutions", "32,16,8", "--class_cond", "True",
+                "--use_ddim", "True", "--image_size", "64",
+                "--learn_sigma", "True", "--noise_schedule", "cosine",
+                "--num_channels", "192", "--num_head_channels", "64",
+                "--num_res_blocks", "3", "--resblock_updown", "True",
+                "--use_new_attention_order", "True",
+                "--time_step", "4", "--max_epochs", "10",
+                "--population_num", "50", "--mutation_num", "25",
+                "--crossover_num", "15", "--m_prob", "0.25",
+                "--use_ddim_init_x", "True", "--num_samples", "5000",
+                "--batch_size", "100", "--classifier_scale", "1.0",
+                "--model_path", "/nonexistent.pt"]
+        with pytest.raises(FileNotFoundError):
+            main(argv)   # parses cleanly; fails only at checkpoint load
+
+    def test_joint_search_bundle_parses(self):
+        from autodiffusion_tpu.cli.main import main
+        argv = ["search", "--use_dynamic_unet", "True", "--time_step", "10",
+                "--index_step", "580", "--max_prun", "0.1",
+                "--min_prun", "0.0", "--num_samples", "1000",
+                "--batch_size", "100", "--model_path", "/nonexistent.pt"]
+        with pytest.raises(FileNotFoundError):
+            main(argv)
+
+    def test_dynamic_subnet_sample_bundle_parses(self):
+        # sample_imagenet64_classifier_guidance_dynamic_subnet.sh artifacts
+        from autodiffusion_tpu.cli.main import main
+        argv = ["sample",
+                "--use_timestep",
+                "[744, 137, 647, 856, 305, 441, 676, 572, 971, 85]",
+                "--skip_layers",
+                "[[], [], [], [], [], [], [], [3, 9, 21, 49, 40, 32, 25, 19, 13], [], []]",
+                "--model_path", "/nonexistent.pt"]
+        with pytest.raises(FileNotFoundError):
+            main(argv)

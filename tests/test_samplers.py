@@ -223,3 +223,41 @@ class TestLoopsJax:
         single = sample_one(jax.tree_util.tree_map(lambda a: a[1], stacked))
         np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(single),
                                    atol=1e-5)
+
+
+class TestConditionMeanParity:
+    def test_ancestral_guidance_mean_shift(self, reference_gd):
+        """condition_mean (Sohl-Dickstein guidance for ancestral sampling):
+        mean' = mean + variance * grad (gaussian_diffusion.py:356-369)."""
+        import torch
+        from guided_diffusion import gaussian_diffusion as rgd
+        from guided_diffusion import respace as rrs
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 3, 8, 8).astype(np.float32)
+        out = rng.randn(2, 6, 8, 8).astype(np.float32) * 0.1
+        grad = rng.randn(2, 3, 8, 8).astype(np.float32)
+
+        ref = rrs.SpacedDiffusion(
+            use_timesteps=set(SPEC6),
+            betas=rgd.get_named_beta_schedule("cosine", 1000),
+            model_mean_type=rgd.ModelMeanType.EPSILON,
+            model_var_type=rgd.ModelVarType.LEARNED_RANGE,
+            loss_type=rgd.LossType.MSE)
+        i = 2
+        t = torch.tensor([i, i])
+        pmv = ref.p_mean_variance(lambda x_, t_, **kw: torch.from_numpy(out),
+                                  torch.from_numpy(x), t, clip_denoised=True)
+        want = ref.condition_mean(
+            lambda x_, t_, **kw: torch.from_numpy(grad), pmv,
+            torch.from_numpy(x), t, model_kwargs={}).numpy()
+
+        tables = build_tables(SPEC6, base_schedule="cosine")
+        mean, var, _, _ = p_mean_variance(
+            tables, jnp.asarray(out.transpose(0, 2, 3, 1)),
+            jnp.asarray(x.transpose(0, 2, 3, 1)), i,
+            mean_type=ModelMeanType.EPSILON,
+            var_type=ModelVarType.LEARNED_RANGE, clip_denoised=True)
+        got = mean + var * jnp.asarray(grad.transpose(0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                                   atol=1e-5, rtol=1e-5)
