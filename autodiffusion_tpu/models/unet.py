@@ -265,6 +265,9 @@ class UNetModel(nn.Module):
     resblock_updown: bool = True
     use_new_attention_order: bool = True
     conv_resample: bool = True
+    # rematerialize ResBlocks under grad (the reference's use_checkpoint,
+    # nn.py:124-170) — trades recompute for activation memory at 256px+
+    use_remat: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -298,11 +301,22 @@ class UNetModel(nn.Module):
         def keep_for(lid):
             return _keep_factor(keep_mask, lid, structural_skip, self.dtype)
 
+        if self.use_remat:
+            # deterministic stays a static closure capture; only arrays
+            # (h, emb, keep) flow through the checkpoint boundary
+            def _call(block, hh, ee, kk):
+                return block(hh, ee, keep=kk, deterministic=deterministic)
+
+            call_res = nn.remat(_call)
+        else:
+            def call_res(block, hh, ee, kk):
+                return block(hh, ee, keep=kk, deterministic=deterministic)
+
         def res(h, c_out, lid, name, up=False, down=False):
-            return ResBlock(out_channels=c_out, dropout=self.dropout,
-                            use_scale_shift_norm=self.use_scale_shift_norm,
-                            up=up, down=down, dtype=self.dtype, name=name)(
-                h, emb, keep=keep_for(lid), deterministic=deterministic)
+            block = ResBlock(out_channels=c_out, dropout=self.dropout,
+                             use_scale_shift_norm=self.use_scale_shift_norm,
+                             up=up, down=down, dtype=self.dtype, name=name)
+            return call_res(block, h, emb, keep_for(lid))
 
         def attn(h, lid, name, heads=None):
             return AttentionBlock(num_heads=heads or self.num_heads,
