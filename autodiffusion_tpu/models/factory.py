@@ -63,6 +63,7 @@ class ModelConfig:
     resblock_updown: bool = False
     use_new_attention_order: bool = False
     learn_sigma: bool = False
+    use_checkpoint: bool = False   # gradient remat (reference flag name)
     use_bf16: bool = False   # TPU analog of use_fp16
     # diffusion side
     diffusion_steps: int = 1000
@@ -112,6 +113,7 @@ def create_model(cfg: ModelConfig) -> UNetModel:
         use_scale_shift_norm=cfg.use_scale_shift_norm,
         resblock_updown=cfg.resblock_updown,
         use_new_attention_order=cfg.use_new_attention_order,
+        use_remat=cfg.use_checkpoint,
         dtype=jnp.bfloat16 if cfg.use_bf16 else jnp.float32,
     )
 
