@@ -68,3 +68,40 @@ class TestStructuralSkip:
         sep1 = m.apply(params, x[1:], t[1:], keep_mask=m1)
         np.testing.assert_allclose(np.asarray(batched),
                                    np.concatenate([sep0, sep1]), atol=1e-5)
+
+
+class TestConvertRoundtrip:
+    def test_torch_to_msgpack_to_params(self, reference_gd, tmp_path):
+        """adt convert path: torch .pt -> flax msgpack -> reload -> same
+        outputs as direct conversion."""
+        import torch
+        from guided_diffusion.unet import UNetModel as TorchUNet
+        from autodiffusion_tpu.models.convert import (convert_unet,
+                                                      load_torch_state_dict)
+        from autodiffusion_tpu.utils.checkpoint import load_tree, save_tree
+
+        torch.manual_seed(4)
+        tm = TorchUNet(image_size=16, in_channels=3, model_channels=32,
+                       out_channels=3, num_res_blocks=1,
+                       attention_resolutions=(2,), dropout=0.0,
+                       channel_mult=(1, 2), num_classes=None,
+                       use_checkpoint=False, use_fp16=False, num_heads=1,
+                       num_head_channels=32, num_heads_upsample=-1,
+                       use_scale_shift_norm=True, resblock_updown=True,
+                       use_new_attention_order=True)
+        pt = str(tmp_path / "model.pt")
+        torch.save(tm.state_dict(), pt)
+
+        fm = UNetModel(model_channels=32, out_channels=3, num_res_blocks=1,
+                       attention_ds=(2,), channel_mult=(1, 2),
+                       num_head_channels=32)
+        params = convert_unet(load_torch_state_dict(pt), fm)
+        mp = str(tmp_path / "model000001.msgpack")
+        save_tree(mp, params)
+        reloaded = load_tree(mp, jax.tree_util.tree_map(np.zeros_like,
+                                                        jax.device_get(params)))
+        x = jax.random.normal(jax.random.key(0), (1, 16, 16, 3))
+        t = jnp.array([42.0])
+        a = fm.apply(params, x, t)
+        b = fm.apply(jax.tree_util.tree_map(jnp.asarray, reloaded), x, t)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
