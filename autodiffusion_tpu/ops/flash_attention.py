@@ -110,7 +110,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    *, block_q: int = 256, block_kv: int = 512,
+                    *, block_q: int = 256, block_kv: int = 2048,
                     interpret: bool = False) -> jnp.ndarray:
     """softmax(q k^T / sqrt(D)) v for q [B,H,T,D], k/v [B,H,S,D]."""
     return _flash(q, k, v, block_q, block_kv, interpret)
