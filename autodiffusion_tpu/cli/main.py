@@ -444,7 +444,13 @@ def cmd_img2img(args) -> int:
 
     rng = jax.random.key(args.seed)
     noise_rng, rng = jax.random.split(rng)
-    z_enc = q_sample(sub, z0, jnp.full((n,), t_enc - 1),
+    # reference stochastic_encode gathers the ddim alpha at index t_enc —
+    # one respaced level DEEPER than the last decoded step (ddim.py:220-233,
+    # img2img.py:240-261) — then decodes over the first t_enc steps. Clamp
+    # at the final grid point for strength == 1.0 (the reference errors
+    # there with an out-of-range gather).
+    enc_idx = min(t_enc, tables.num_steps - 1)
+    z_enc = q_sample(tables, z0, jnp.full((n,), enc_idx),
                      jax.random.normal(noise_rng, z0.shape))
     z = ddim_sample_loop(guided, z_enc.shape, sub, rng=rng,
                          clip_denoised=False,

@@ -52,12 +52,17 @@ class ImageDataset:
     def __init__(self, resolution: int, paths: List[str],
                  classes: Optional[List[int]] = None,
                  shard: int = 0, num_shards: int = 1,
-                 random_crop: bool = False, random_flip: bool = True):
+                 random_crop: bool = False, random_flip: bool = True,
+                 aug_seed: Optional[int] = None):
         self.resolution = resolution
         self.paths = paths[shard::num_shards]
         self.classes = None if classes is None else classes[shard::num_shards]
         self.random_crop = random_crop
         self.random_flip = random_flip
+        # fresh crop/flip decisions on every access, like the reference's
+        # global-random augmentation (image_datasets.py:96-167) — a
+        # per-index seed would freeze each image's augmentation across epochs
+        self._rng = random.Random(aug_seed)
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -75,7 +80,7 @@ class ImageDataset:
         scale = self.resolution / min(*img.size)
         img = img.resize(tuple(round(x * scale) for x in img.size), Image.BICUBIC)
         arr = np.array(img)
-        rng = random.Random(idx)
+        rng = self._rng
         if self.random_crop:
             arr = _random_crop(arr, self.resolution, rng)
         else:
@@ -106,7 +111,8 @@ def load_data(*, data_dir: str, batch_size: int, image_size: int,
         classes = [sorted_classes[n] for n in names]
     ds = ImageDataset(image_size, paths, classes, shard=shard,
                       num_shards=num_shards, random_crop=random_crop,
-                      random_flip=random_flip)
+                      random_flip=random_flip,
+                      aug_seed=None if seed is None else seed + shard)
     order = list(range(len(ds)))
     rng = random.Random(seed)
     while True:

@@ -52,9 +52,20 @@ class FIDStats(NamedTuple):
             return cls(np.asarray(z["mu"]), np.asarray(z["sigma"]))
 
 
-def accumulate_stats(stats: FeatureStats, feats: jnp.ndarray) -> FeatureStats:
-    """Add a [B, D] batch of features (jit/psum friendly)."""
+def accumulate_stats(stats: FeatureStats, feats: jnp.ndarray,
+                     shift: Optional[jnp.ndarray] = None) -> FeatureStats:
+    """Add a [B, D] batch of features (jit/psum friendly).
+
+    ``shift`` (a [D] vector, typically the reference mu) is subtracted before
+    accumulating: moments of centered features avoid the f32 cancellation of
+    s2 - n*mu*mu^T when streaming tens of thousands of samples — the
+    device-friendly equivalent of the reference's float64 np.cov
+    (evaluator_v1.py compute_statistics). Pass the SAME shift to
+    finalize_stats.
+    """
     f32 = feats.astype(stats.s1.dtype)
+    if shift is not None:
+        f32 = f32 - shift.astype(f32.dtype)
     return FeatureStats(
         n=stats.n + feats.shape[0],
         s1=stats.s1 + f32.sum(axis=0),
@@ -62,13 +73,19 @@ def accumulate_stats(stats: FeatureStats, feats: jnp.ndarray) -> FeatureStats:
     )
 
 
-def finalize_stats(stats: FeatureStats) -> FIDStats:
-    """Sums -> (mu, unbiased covariance), matching np.cov's N-1 denominator."""
+def finalize_stats(stats: FeatureStats,
+                   shift: Optional[np.ndarray] = None) -> FIDStats:
+    """Sums -> (mu, unbiased covariance), matching np.cov's N-1 denominator.
+
+    Covariance is shift-invariant; the mean adds the shift back.
+    """
     n = float(np.asarray(stats.n))
     s1 = np.asarray(stats.s1, dtype=np.float64)
     s2 = np.asarray(stats.s2, dtype=np.float64)
     mu = s1 / n
     sigma = (s2 - n * np.outer(mu, mu)) / (n - 1)
+    if shift is not None:
+        mu = mu + np.asarray(shift, dtype=np.float64)
     return FIDStats(mu, sigma)
 
 

@@ -191,9 +191,14 @@ class ClipBPETokenizer:
 
     def encode_text(self, text: str) -> List[int]:
         import re
+        # CLIP's pre-tokenizer pattern (simple_tokenizer.py): letters group
+        # ([\p{L}]+ -> [^\W\d_]+), digits split ONE AT A TIME ([\p{N}] -> \d),
+        # punctuation runs grouped including underscore
+        # ([^\s\p{L}\p{N}]+ -> (?:[^\s\w]|_)+). The distinction matters:
+        # "photo4k" must tokenize as photo|4|k, not as one word.
         pat = re.compile(
             r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-            r"""[^\s\w]|[\w]+""", re.IGNORECASE)
+            r"""[^\W\d_]+|\d|(?:[^\s\w]|_)+""", re.IGNORECASE)
         text = " ".join(text.lower().strip().split())
         ids: List[int] = []
         for tok in re.findall(pat, text):

@@ -66,12 +66,15 @@ def space_timesteps(num_timesteps: int, section_counts: Union[str, Sequence[int]
 def make_ddim_timesteps(method: str, num_ddim_steps: int, num_train_steps: int) -> np.ndarray:
     """Stable-Diffusion-style DDIM grids (with the historical +1 offset).
 
-    ``uniform``: arange(num_ddim) * (T // num_ddim) + 1
+    ``uniform``: range(0, T, round(T / num_ddim)) + 1 — NOTE the reference
+        (ldm/modules/diffusionmodules/util.py:46-48) rounds the stride and
+        does NOT truncate, so the returned count can differ from the request
+        when num_ddim does not divide T (e.g. 30 steps at T=1000 yields 31).
     ``quad``:    round(linspace(0, sqrt(T*0.8), num_ddim)^2) + 1
     """
     if method == "uniform":
-        c = num_train_steps // num_ddim_steps
-        steps = np.asarray(list(range(0, num_train_steps, c)))[:num_ddim_steps]
+        c = round(num_train_steps / num_ddim_steps)
+        steps = np.asarray(list(range(0, num_train_steps, c)))
     elif method == "quad":
         steps = (np.linspace(0, np.sqrt(num_train_steps * 0.8), num_ddim_steps) ** 2).astype(int)
     else:

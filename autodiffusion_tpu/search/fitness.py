@@ -78,10 +78,17 @@ class BatchedFIDFitness:
         self.group_key_fn = group_key_fn or (lambda c: len(c[0]) if
                                              isinstance(c[0], tuple) else len(c))
 
-        def chunk_step(static, per_sample_payload, stats, rng, batch_idx):
+        # center features on the reference mean before accumulating moments:
+        # shift-invariant covariance without the f32 cancellation of
+        # s2 - n*mu*mu^T over tens of thousands of streamed samples (the
+        # reference gets this via float64 np.cov on host, evaluator_v1.py)
+        self._shift = jnp.asarray(ref_stats.mu, jnp.float32)
+
+        def chunk_step(static, per_sample_payload, stats, shift, rng, batch_idx):
             c = stats.n.shape[0]
             imgs = sample_fn(static, per_sample_payload, rng, batch_idx)
             feats = feature_fn(imgs)["pool3"].astype(stats.s1.dtype)
+            feats = feats - shift.astype(feats.dtype)
             b = feats.shape[0] // c
             by_cand = feats.reshape(c, b, -1)
             return FeatureStats(
@@ -132,12 +139,13 @@ class BatchedFIDFitness:
         for b in range(n_batches):
             rng = jax.random.fold_in(jax.random.fold_in(base_rng, self._eval_count), b)
             stats = self._chunk_step(self.static_payload, per_sample, stats,
-                                     rng, jnp.int32(b))
+                                     self._shift, rng, jnp.int32(b))
         self._eval_count += 1
         out = []
         for i in range(n_real):
             st = jax.tree_util.tree_map(lambda a, i=i: a[i], stats)
             # eigh formulation: ~10x faster than sqrtm per candidate and
             # equal to ~1e-6 relative (see fid.stats.frechet_distance_eigh)
-            out.append(frechet_distance_eigh(finalize_stats(st), self.ref_stats))
+            out.append(frechet_distance_eigh(
+                finalize_stats(st, shift=self.ref_stats.mu), self.ref_stats))
         return out

@@ -22,6 +22,29 @@ class TestStats:
         np.testing.assert_allclose(got.mu, want.mu, atol=1e-5)
         np.testing.assert_allclose(got.sigma, want.sigma, atol=1e-4)
 
+    def test_shifted_accumulation_beats_raw_f32_on_large_means(self):
+        # features with a large common offset (like real pool3 activations):
+        # centering on the reference mean removes the s2 - n*mu*mu^T
+        # cancellation that dominates raw-f32 streamed covariance error
+        rng = np.random.RandomState(2)
+        feats = (rng.randn(2000, 16) * 0.05 + 30.0).astype(np.float32)
+        shift = feats.mean(axis=0)
+        want = FIDStats.from_features(feats)
+
+        raw, cen = FeatureStats.zeros(16), FeatureStats.zeros(16)
+        for i in range(0, 2000, 100):
+            b = jnp.asarray(feats[i:i + 100])
+            raw = accumulate_stats(raw, b)
+            cen = accumulate_stats(cen, b, shift=jnp.asarray(shift))
+        got_raw = finalize_stats(raw)
+        got_cen = finalize_stats(cen, shift=shift)
+
+        np.testing.assert_allclose(got_cen.mu, want.mu, atol=1e-5)
+        err_cen = np.abs(got_cen.sigma - want.sigma).max()
+        err_raw = np.abs(got_raw.sigma - want.sigma).max()
+        assert err_cen < 1e-5
+        assert err_cen < err_raw / 10
+
     def test_frechet_identical_is_zero(self):
         rng = np.random.RandomState(1)
         s = FIDStats.from_features(rng.randn(300, 8))

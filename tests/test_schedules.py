@@ -154,6 +154,32 @@ class TestDdimTimestepsSD:
         steps = make_ddim_timesteps("uniform", 50, 1000)
         assert steps[0] == 1 and steps[1] == 21 and len(steps) == 50
 
+    def test_uniform_nondivisor_matches_reference_rounding(self):
+        # reference rounds the stride and does not truncate
+        # (ldm/modules/diffusionmodules/util.py:46-48): 30 steps at T=1000
+        # -> stride 33 -> 31 steps ending at 991
+        steps = make_ddim_timesteps("uniform", 30, 1000)
+        assert len(steps) == 31 and steps[-1] == 991 and steps[1] - steps[0] == 33
+
     def test_quad(self):
         steps = make_ddim_timesteps("quad", 10, 1000)
         assert steps[0] == 1 and steps[-1] <= 1000 and len(steps) == 10
+
+    @pytest.mark.parametrize("method,n", [("uniform", 50), ("uniform", 30),
+                                          ("uniform", 4), ("quad", 10)])
+    def test_matches_reference_function(self, method, n):
+        import os
+        import sys
+        sd_ref = "/root/reference/examples/Stable Diffusion"
+        if not os.path.isdir(sd_ref):
+            pytest.skip("SD reference not available")
+        if sd_ref not in sys.path:
+            sys.path.insert(0, sd_ref)
+        try:
+            from ldm.modules.diffusionmodules.util import \
+                make_ddim_timesteps as ref_fn
+        except Exception as e:
+            pytest.skip(f"SD reference import failed: {e}")
+        np.testing.assert_array_equal(
+            make_ddim_timesteps(method, n, 1000),
+            ref_fn(method, n, 1000, verbose=False))

@@ -184,3 +184,39 @@ class TestDPMSolverParity:
         b = f(t2, jax.random.key(0))
         assert np.isfinite(np.asarray(a)).all() and np.isfinite(np.asarray(b)).all()
         assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+
+
+class TestStochasticEncodeIndex:
+    """img2img noising must gather the ddim alpha at index t_enc — one level
+    deeper than the last decoded step (ddim.py:220-233 stochastic_encode,
+    img2img.py:240-261) — not t_enc-1."""
+
+    def test_q_sample_matches_reference_stochastic_encode(self, sd_ref):
+        import sys
+        sys.path.insert(0, sd_ref)
+        from ldm.modules.diffusionmodules.util import (
+            make_ddim_sampling_parameters, make_ddim_timesteps)
+
+        from autodiffusion_tpu.samplers import q_sample
+        from autodiffusion_tpu.schedules import build_sd_tables
+
+        S, strength = 10, 0.53
+        t_enc = max(1, int(strength * S))                   # img2img.py:240
+        steps = make_ddim_timesteps("uniform", S, 1000, verbose=False)
+        betas = make_beta_schedule("sqrt_linear", 1000)
+        abar = np.cumprod(1.0 - betas)
+        _, ddim_alphas, _ = make_ddim_sampling_parameters(
+            alphacums=abar, ddim_timesteps=steps, eta=0.0, verbose=False)
+
+        rng = np.random.RandomState(0)
+        z0 = rng.randn(2, 4, 4, 3).astype(np.float32)
+        noise = rng.randn(2, 4, 4, 3).astype(np.float32)
+        # reference stochastic_encode at t = t_enc (ddim.py:232-233)
+        a = ddim_alphas[t_enc]
+        want = np.sqrt(a) * z0 + np.sqrt(1.0 - a) * noise
+
+        tables = build_sd_tables(steps)
+        enc_idx = min(t_enc, tables.num_steps - 1)          # cli/main.py
+        got = q_sample(tables, jnp.asarray(z0),
+                       jnp.full((2,), enc_idx), jnp.asarray(noise))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
