@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -361,16 +362,8 @@ def cmd_txt2img(args) -> int:
     pmask = (jnp.asarray(ast.literal_eval(args.prompt_mask), jnp.float32)
              if args.prompt_mask else None)
 
-    def guided(x, t, i=None):
-        x2 = jnp.concatenate([x, x])
-        t2 = jnp.concatenate([t, t])
-        c2 = jnp.concatenate([uc, ctx])
-        out = unet.apply(uparams, x2, t2, c2)
-        e_u, e_c = out[:n], out[n:]
-        s = args.scale
-        if pmask is not None and i is not None:
-            s = s * pmask[i]
-        return e_u + s * (e_c - e_u)
+    guided = cfg_eps_fn(lambda x2, t2, c2: unet.apply(uparams, x2, t2, c2),
+                        ctx, uc, args.scale, prompt_mask=pmask)
 
     rng = jax.random.key(args.seed)
     if args.timesteps:
@@ -511,7 +504,8 @@ def cmd_train(args) -> int:
     from ..parallel import data_sharder, make_mesh, replicate, shard_batch
     from ..train import (TrainLoop, create_named_schedule_sampler,
                          create_train_state, make_train_step,
-                         ofa_random_select_tables_fn, ofa_tables_fn)
+                         ofa_random_select_tables_fn, ofa_tables_fn,
+                         resume_train_state)
 
     logger.configure(args.save_dir or None)
     cfg = ModelConfig(
@@ -519,13 +513,20 @@ def cmd_train(args) -> int:
         num_res_blocks=args.num_res_blocks,
         num_head_channels=args.num_head_channels,
         attention_resolutions=args.attention_resolutions,
+        channel_mult=args.channel_mult,
         class_cond=args.class_cond, learn_sigma=args.learn_sigma,
         noise_schedule=args.noise_schedule, use_bf16=args.use_bf16,
         dropout=args.dropout, resblock_updown=args.resblock_updown,
         use_scale_shift_norm=args.use_scale_shift_norm,
         use_new_attention_order=args.use_new_attention_order)
     model = create_model(cfg)
-    if args.resume_checkpoint:
+    # --resume_checkpoint accepts a torch .pt (one-time conversion) OR an
+    # own-format model*.msgpack file / checkpoint directory, resuming
+    # model+EMA+opt+step like the reference (train_util.py:124-165)
+    resume_own = args.resume_checkpoint and (
+        args.resume_checkpoint.endswith(".msgpack")
+        or os.path.isdir(args.resume_checkpoint))
+    if args.resume_checkpoint and not resume_own:
         params = convert_unet(load_torch_state_dict(args.resume_checkpoint), model)
     else:
         x1 = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
@@ -540,7 +541,16 @@ def cmd_train(args) -> int:
         params, lr=args.lr, weight_decay=args.weight_decay,
         ema_rates=tuple(float(r) for r in str(args.ema_rate).split(",")),
         lr_anneal_steps=args.lr_anneal_steps)
+    if resume_own:
+        state = resume_train_state(state, args.resume_checkpoint,
+                                   device_put_fn=lambda t: replicate(mesh, t))
+    from ..samplers import ModelVarType
+    # learn_sigma False -> FIXED_LARGE, the reference default
+    # (script_util.py:415-453 create_gaussian_diffusion)
+    var_type = (ModelVarType.LEARNED_RANGE if cfg.learn_sigma
+                else ModelVarType.FIXED_LARGE)
     step = jax.jit(make_train_step(model.apply, class_cond=cfg.class_cond,
+                                   var_type=var_type,
                                    microbatches=max(1, args.batch_size //
                                                     (args.microbatch or args.batch_size)),
                                    data_sharder=data_sharder(mesh)))
@@ -683,7 +693,7 @@ def main(argv=None) -> int:
         num_head_channels=64, attention_resolutions="32,16,8",
         class_cond=True, learn_sigma=True, noise_schedule="cosine",
         dropout=0.1, resblock_updown=True, use_scale_shift_norm=True,
-        use_new_attention_order=True, use_bf16=True))
+        use_new_attention_order=True, use_bf16=True, channel_mult=""))
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("nll", help="bits/dim over a dataset")

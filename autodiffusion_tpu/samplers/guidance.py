@@ -12,7 +12,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["classifier_cond_fn", "cfg_model_fn"]
+__all__ = ["classifier_cond_fn", "cfg_eps_fn"]
 
 
 def classifier_cond_fn(classifier_fn: Callable, y: jnp.ndarray,
@@ -35,30 +35,30 @@ def classifier_cond_fn(classifier_fn: Callable, y: jnp.ndarray,
     return cond_fn
 
 
-def cfg_model_fn(model_fn: Callable, guidance_scale: float,
-                 uncond_kwargs: dict, cond_kwargs: dict) -> Callable:
-    """Classifier-free guidance via the 2x-batch trick (ddim.py:184-191):
-    eps = eps_uncond + scale * (eps_cond - eps_uncond). Extra model-output
-    channels (learned variance) are taken from the conditional branch.
+def cfg_eps_fn(apply_fn: Callable, ctx: jnp.ndarray, uncond_ctx: jnp.ndarray,
+               guidance_scale: float,
+               prompt_mask: "jnp.ndarray | None" = None) -> Callable:
+    """Classifier-free guidance via the 2x-batch trick, reference batch
+    order [uncond | cond] (ddim.py:184-191: cat([uc, c]) then chunk(2) ->
+    e_t_uncond, e_t): eps = eps_u + scale * (eps_c - eps_u).
 
-    ``model_fn(x, t, step_idx, **kwargs)``; kwargs dicts carry e.g. the CLIP
-    context for the conditional and empty-prompt branches.
+    ``apply_fn(x2, t2, ctx2) -> eps`` is the raw conditional model over the
+    doubled batch. ``prompt_mask`` (optional [K] 0/1 vector, the
+    txt2img_prompt_mask.py ablation) zeroes the guidance at masked steps.
+    Returns ``guided(x, t, i) -> eps`` for the scan samplers.
     """
+    if uncond_ctx.ndim < ctx.ndim:
+        uncond_ctx = jnp.broadcast_to(uncond_ctx[None], ctx.shape)
 
-    def guided_batched(x, t, i):
-        # single batched model call over [cond | uncond]
-        x2 = jnp.concatenate([x, x], axis=0)
-        t2 = jnp.concatenate([t, t], axis=0)
-        kwargs = jax.tree_util.tree_map(
-            lambda c, u: jnp.concatenate([c, u], axis=0),
-            cond_kwargs, uncond_kwargs)
-        out = model_fn(x2, t2, i, **kwargs)
-        c = x.shape[-1]
-        eps_c, eps_u = out[: x.shape[0], ..., :c], out[x.shape[0]:, ..., :c]
-        eps = eps_u + guidance_scale * (eps_c - eps_u)
-        if out.shape[-1] > c:
-            rest = out[: x.shape[0], ..., c:]
-            eps = jnp.concatenate([eps, rest], axis=-1)
-        return eps
+    def guided(x, t, i=None):
+        n = x.shape[0]
+        out = apply_fn(jnp.concatenate([x, x], axis=0),
+                       jnp.concatenate([t, t], axis=0),
+                       jnp.concatenate([uncond_ctx, ctx], axis=0))
+        e_u, e_c = out[:n], out[n:]
+        s = guidance_scale
+        if prompt_mask is not None and i is not None:
+            s = s * prompt_mask[i]
+        return e_u + s * (e_c - e_u)
 
-    return guided_batched
+    return guided

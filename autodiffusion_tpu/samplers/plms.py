@@ -7,7 +7,7 @@ buffer + valid count), so arbitrary searched schedules reuse one compiled
 graph, like the DDIM loop.
 
 model_fn(x, t, i) -> eps (classifier-free guidance goes inside model_fn via
-samplers.guidance.cfg_model_fn, matching plms.py:200-207).
+samplers.guidance.cfg_eps_fn, matching plms.py:200-207).
 """
 
 from __future__ import annotations

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..fid.stats import FIDStats
 from ..models.vae import SD_SCALE_FACTOR
-from ..samplers import (DiscreteNoiseSchedule, ddim_sample_loop,
+from ..samplers import (DiscreteNoiseSchedule, cfg_eps_fn, ddim_sample_loop,
                         dpm_solver_sample_loop, plms_sample_loop)
 from ..samplers.diffusion import ModelVarType
 from ..schedules import build_sd_tables, make_beta_schedule
@@ -80,27 +80,20 @@ def make_sd_fitness(*, unet, unet_params, vae, vae_params,
         start = (batch_idx * batch_size) % n_prompts
         idx = (start + jnp.arange(n) % batch_size) % n_prompts
         ctx = bank[idx]
-        uc = jnp.broadcast_to(uncond[None], ctx.shape)
         shape = (n, latent_hw, latent_hw, latent_ch)
-
-        def guided_eps(x, t):
-            # CFG 2x-batch (ddim.py:184-191)
-            x2 = jnp.concatenate([x, x], axis=0)
-            t2 = jnp.concatenate([t, t], axis=0)
-            c2 = jnp.concatenate([uc, ctx], axis=0)
-            out = unet.apply(uparams, x2, t2, c2)
-            e_u, e_c = out[:n], out[n:]
-            return e_u + guidance_scale * (e_c - e_u)
+        guided_eps = cfg_eps_fn(
+            lambda x2, t2, c2: unet.apply(uparams, x2, t2, c2),
+            ctx, uncond, guidance_scale)
 
         if sampler == "dpm_solver":
             z = dpm_solver_sample_loop(
                 guided_eps, shape, noise_sched, payload["times"], rng=rng,
                 order=dpm_order, lower_order_final=True, predict_x0=True)
         elif sampler == "plms":
-            z = plms_sample_loop(lambda x, t, i: guided_eps(x, t), shape,
+            z = plms_sample_loop(guided_eps, shape,
                                  payload["tables"], rng=rng)
         elif sampler == "ddim":
-            z = ddim_sample_loop(lambda x, t, i: guided_eps(x, t), shape,
+            z = ddim_sample_loop(guided_eps, shape,
                                  payload["tables"], rng=rng,
                                  clip_denoised=False,
                                  var_type=ModelVarType.FIXED_SMALL)

@@ -25,11 +25,62 @@ import numpy as np
 
 from ..schedules import ScheduleTables, build_base_tables, build_tables
 from ..utils import logger
-from ..utils.checkpoint import save_tree
+from ..utils.checkpoint import (find_latest_checkpoint, load_tree,
+                                parse_step_from_filename, save_tree)
 from .resample import UniformSampler
 from .state import TrainState
 
-__all__ = ["TrainLoop", "ofa_tables_fn", "ofa_random_select_tables_fn"]
+__all__ = ["TrainLoop", "resume_train_state", "ofa_tables_fn",
+           "ofa_random_select_tables_fn"]
+
+
+def resume_train_state(state: TrainState, path_or_dir: str,
+                       device_put_fn: Optional[Callable] = None) -> TrainState:
+    """Resume model/EMA/optimizer from own-format msgpack checkpoints.
+
+    ``path_or_dir`` is either a model checkpoint file or a directory holding
+    model{step}.msgpack / ema_{rate}_{step}.msgpack / opt{step}.msgpack (the
+    naming TrainLoop.save writes). The step counter is parsed from the
+    filename; missing EMA/opt files fall back to the loaded model params /
+    fresh optimizer with a logged warning — the reference resume semantics
+    (train_util.py:124-165,780-792). ``device_put_fn`` (e.g. mesh
+    replication) is applied to every loaded tree.
+    """
+    import os
+
+    if os.path.isdir(path_or_dir):
+        found = find_latest_checkpoint(path_or_dir)
+        if found is None:
+            raise FileNotFoundError(
+                f"no model*.msgpack checkpoint in {path_or_dir}")
+        model_path, step = found
+    else:
+        model_path = path_or_dir
+        step = parse_step_from_filename(os.path.basename(model_path))
+    ckpt_dir = os.path.dirname(os.path.abspath(model_path))
+    put = device_put_fn or (lambda t: t)
+
+    logger.log(f"resuming model from {model_path} at step {step}")
+    params = put(load_tree(model_path, jax.device_get(state.params)))
+
+    opt_path = os.path.join(ckpt_dir, f"opt{step:06d}.msgpack")
+    if os.path.exists(opt_path):
+        opt_state = put(load_tree(opt_path, jax.device_get(state.opt_state)))
+    else:
+        logger.log(f"warning: {opt_path} not found, keeping fresh optimizer")
+        opt_state = state.opt_state
+
+    emas = []
+    for rate, etree in zip(state.ema_rates, state.ema_params):
+        ema_path = os.path.join(ckpt_dir, f"ema_{rate}_{step:06d}.msgpack")
+        if os.path.exists(ema_path):
+            emas.append(put(load_tree(ema_path, jax.device_get(etree))))
+        else:
+            logger.log(f"warning: {ema_path} not found, seeding EMA from "
+                       "model params")
+            emas.append(jax.tree_util.tree_map(lambda x: x, params))
+    return state.replace(step=jnp.asarray(step, jnp.int32), params=params,
+                         opt_state=opt_state, ema_params=tuple(emas))
 
 
 class TrainLoop:
@@ -49,7 +100,7 @@ class TrainLoop:
                  batch_size: int, lr_anneal_steps: int = 0,
                  log_interval: int = 10, save_interval: int = 10000,
                  save_dir: Optional[str] = None,
-                 ema_rates: Sequence[float] = (0.9999,),
+                 ema_rates: Optional[Sequence[float]] = None,
                  val_fn: Optional[Callable] = None, val_interval: int = 0,
                  seed: int = 0):
         self.state = state
@@ -64,7 +115,10 @@ class TrainLoop:
         self.log_interval = log_interval
         self.save_interval = save_interval
         self.save_dir = save_dir
-        self.ema_rates = tuple(ema_rates)
+        # default to the state's own rates so save() filenames always match
+        # the trees they hold
+        self.ema_rates = tuple(ema_rates) if ema_rates is not None \
+            else tuple(state.ema_rates)
         # periodic validation (e.g. FID over EMA params) — the TrainValLoop
         # capability (train_util.py:277-408)
         self.val_fn = val_fn

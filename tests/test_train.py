@@ -159,3 +159,58 @@ class TestTrainStep:
         shardings = param_shardings(mesh, params["params"], min_weight_size=1024)
         specs = [s.spec for s in jax.tree_util.tree_leaves(shardings)]
         assert any("model" in str(s) for s in specs), "no kernel got TP-sharded"
+
+
+class TestResume:
+    def test_save_then_resume_continues_bitwise(self, tmp_path):
+        """Train 3 steps -> save -> resume into a FRESH state: step counter,
+        params, EMA, and optimizer state continue bitwise; two more steps on
+        the resumed state match an uninterrupted 5-step run exactly
+        (train_util.py:124-165,780-792 resume semantics)."""
+        from autodiffusion_tpu.train import resume_train_state
+        from autodiffusion_tpu.utils.checkpoint import save_tree
+
+        m, params = _tiny_setup()
+        tables = build_base_tables("cosine", 1000)
+        step = jax.jit(make_train_step(m.apply))
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(8, 8, 8, 3).astype(np.float32)) * 0.1
+        ts = [jnp.asarray(rng.randint(0, 1000, 8)) for _ in range(5)]
+
+        def run(state, lo, hi):
+            for i in range(lo, hi):
+                state, _ = step(state, tables, {"x": x}, ts[i],
+                                jnp.ones(8), jax.random.key(i))
+            return state
+
+        gold = run(create_train_state(params, lr=1e-3, ema_rates=(0.9,)), 0, 5)
+
+        state = run(create_train_state(params, lr=1e-3, ema_rates=(0.9,)), 0, 3)
+        d = str(tmp_path)
+        save_tree(f"{d}/model{int(state.step):06d}.msgpack", state.params)
+        save_tree(f"{d}/ema_0.9_{int(state.step):06d}.msgpack",
+                  state.ema_params[0])
+        save_tree(f"{d}/opt{int(state.step):06d}.msgpack", state.opt_state)
+
+        fresh = create_train_state(params, lr=1e-3, ema_rates=(0.9,))
+        resumed = resume_train_state(fresh, d)
+        assert int(resumed.step) == 3
+        for a, b in zip(jax.tree_util.tree_leaves(resumed.params),
+                        jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        final = run(resumed, 3, 5)
+        assert int(final.step) == 5
+        for a, b in zip(jax.tree_util.tree_leaves(final.params),
+                        jax.tree_util.tree_leaves(gold.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(final.ema_params),
+                        jax.tree_util.tree_leaves(gold.ema_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_resume_missing_dir_raises(self, tmp_path):
+        from autodiffusion_tpu.train import resume_train_state
+        m, params = _tiny_setup()
+        state = create_train_state(params, lr=1e-3)
+        with pytest.raises(FileNotFoundError):
+            resume_train_state(state, str(tmp_path))
