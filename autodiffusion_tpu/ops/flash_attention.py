@@ -33,10 +33,12 @@ __all__ = ["flash_attention"]
 _NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, acc, m_i, l_i, *,
-                 scale: float, s_valid: int, block_kv: int):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i, *,
+                 scale: float, s_valid: int, block_kv: int,
+                 want_lse: bool):
     """Grid (BH, T_blocks, S_blocks); S innermost. Scratch carries the
-    online-softmax state across S blocks."""
+    online-softmax state across S blocks. When want_lse, also emits the
+    per-row logsumexp (the FlashAttention-2 residual for the backward)."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -66,7 +68,95 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, acc, m_i, l_i, *,
 
     @pl.when(j == nk - 1)
     def _():
-        o_ref[0] = (acc[...] / jnp.maximum(l_i[...], 1e-30)).astype(o_ref.dtype)
+        l_safe = jnp.maximum(l_i[...], 1e-30)
+        o_ref[0] = (acc[...] / l_safe).astype(o_ref.dtype)
+        if want_lse:
+            lse_ref[0] = m_i[...] + jnp.log(l_safe)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               dq_acc, *, scale: float, s_valid: int, block_kv: int):
+    """dq = (p * (dO V^T - delta)) K * scale. Grid (BH, T_blk, S_blk),
+    S innermost; dq accumulates in VMEM scratch across S blocks."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0].astype(jnp.float32)                    # [bq, d]
+    k = k_ref[0].astype(jnp.float32)                    # [bk, d]
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)                  # [bq, d]
+    lse = lse_ref[0]                                    # [bq, 1]
+    delta = delta_ref[0]                                # [bq, 1]
+
+    logits = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    p = jnp.exp(logits - lse)                           # [bq, bk]
+    bq = p.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1)
+    p = jnp.where(col + j * block_kv < s_valid, p, 0.0)
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dq_acc[...] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _():
+        dq_ref[0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, *,
+                scale: float, s_valid: int, t_valid: int,
+                block_q: int, block_kv: int):
+    """dk/dv for one KV block, accumulating over T blocks (innermost grid
+    axis). p^T is formed directly as exp(scale K Q^T - lse^T)."""
+    j = pl.program_id(2)
+    nt = pl.num_programs(2)
+    i = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0].astype(jnp.float32)                    # [bk, d]
+    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)                    # [bq, d]
+    do = do_ref[0].astype(jnp.float32)
+    # lse/delta refs hold the full [1, 1, t_pad] row (resident across the T
+    # loop); slice this T block as a [1, bq] lane-major row — no transpose
+    start = pl.multiple_of(j * block_q, block_q)
+    lse = lse_ref[0, :, pl.ds(start, block_q)]          # [1, bq]
+    delta = delta_ref[0, :, pl.ds(start, block_q)]
+
+    logits_t = jax.lax.dot_general(k * scale, q, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    p_t = jnp.exp(logits_t - lse)                       # [bk,bq] - [1,bq]
+    bk = p_t.shape[0]
+    # zero padded t columns and padded s rows
+    col = jax.lax.broadcasted_iota(jnp.int32, (bk, block_q), 1)
+    p_t = jnp.where(col + j * block_q < t_valid, p_t, 0.0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (bk, block_q), 0)
+    p_t = jnp.where(row + i * block_kv < s_valid, p_t, 0.0)
+
+    dv_acc[...] += jax.lax.dot_general(p_t, do, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+    dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    ds_t = p_t * (dp_t - delta)
+    dk_acc[...] += jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+    @pl.when(j == nt - 1)
+    def _():
+        dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _pad_to(x, axis, mult):
@@ -79,30 +169,103 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
-def _reference_attention(q, k, v):
-    """Differentiable einsum attention (for the custom backward)."""
-    d = q.shape[-1]
-    logits = jnp.einsum("bhtd,bhsd->bhts", q, k).astype(jnp.float32) / np.sqrt(d)
-    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhts,bhsd->bhtd", w, v)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash(q, k, v, block_q, block_kv, interpret):
-    return _flash_forward(q, k, v, block_q, block_kv, interpret)
+    return _flash_forward(q, k, v, block_q, block_kv, interpret)[0]
 
 
 def _flash_fwd(q, k, v, block_q, block_kv, interpret):
-    return _flash(q, k, v, block_q, block_kv, interpret), (q, k, v)
+    out, lse = _flash_forward(q, k, v, block_q, block_kv, interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(block_q, block_kv, interpret, res, g):
-    # backward recomputes attention via the einsum formulation — classifier
-    # guidance differentiates through attention (jax.grad inside the
-    # sampling scan), so the kernel must be differentiable
-    q, k, v = res
-    _, vjp = jax.vjp(_reference_attention, q, k, v)
-    return vjp(g)
+    """Pallas FlashAttention-2 backward: the [T, S] probability matrix is
+    re-formed blockwise from the saved logsumexp, never in HBM — replacing
+    the earlier full einsum-recompute fallback that materialized f32
+    [B,H,T,S] logits/weights (the dominant HBM traffic of the classifier
+    VJP under guidance, jax.grad inside the sampling scan)."""
+    q, k, v, o, lse = res
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    block_q = min(block_q, max(128, t))
+    block_kv = min(block_kv, max(128, s))
+    scale = 1.0 / np.sqrt(d)
+
+    qp = _pad_to(q.reshape(b * h, t, d), 1, block_q)
+    dop = _pad_to(g.reshape(b * h, t, d), 1, block_q)
+    kp = _pad_to(k.reshape(b * h, s, d), 1, block_kv)
+    vp = _pad_to(v.reshape(b * h, s, d), 1, block_kv)
+    t_pad, s_pad = qp.shape[1], kp.shape[1]
+    bh = b * h
+
+    # delta_i = dO_i . O_i  (FlashAttention-2 eq. for dS); tiny elementwise
+    delta = (g.astype(jnp.float32) * o.astype(jnp.float32)).sum(-1)
+    delta = _pad_to(delta.reshape(bh, t), 1, block_q)
+    lse = _pad_to(lse, 1, block_q)
+    lse_col, delta_col = lse[..., None], delta[..., None]
+
+    grid_dq = (bh, t_pad // block_q, s_pad // block_kv)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, s_valid=s,
+                          block_kv=block_kv),
+        grid=grid_dq,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, tq, j: (i, tq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda i, tq, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda i, tq, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, tq, j: (i, tq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, tq, j: (i, tq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, tq, j: (i, tq, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, tq, j: (i, tq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse_col, delta_col)
+
+    grid_dkv = (bh, s_pad // block_kv, t_pad // block_q)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, s_valid=s, t_valid=t,
+                          block_q=block_q, block_kv=block_kv),
+        grid=grid_dkv,
+        in_specs=[
+            pl.BlockSpec((1, block_kv, d), lambda i, sb, j: (i, sb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda i, sb, j: (i, sb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, sb, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, sb, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad), lambda i, sb, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad), lambda i, sb, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_kv, d), lambda i, sb, j: (i, sb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda i, sb, j: (i, sb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((bh, s_pad, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, s_pad, d), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_kv, d), jnp.float32),
+                        pltpu.VMEM((block_kv, d), jnp.float32)],
+        interpret=interpret,
+    )(kp, vp, qp, dop, lse[:, None, :], delta[:, None, :])
+
+    return (dq[:, :t].reshape(b, h, t, d),
+            dk[:, :s].reshape(b, h, s, d),
+            dv[:, :s].reshape(b, h, s, d))
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -117,7 +280,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                   block_q: int, block_kv: int, interpret: bool) -> jnp.ndarray:
+                   block_q: int, block_kv: int, interpret: bool):
+    """Returns (out [b,h,t,d], lse [b*h, t_pad]) — lse is the FA-2 residual
+    consumed by _flash_bwd (discarded on the pure-forward path; its write
+    traffic is t*4 bytes per row, negligible)."""
     b, h, t, d = q.shape
     s = k.shape[2]
     assert d <= 128, f"head dim {d} > 128: split heads further"
@@ -130,9 +296,9 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vp = _pad_to(v.reshape(b * h, s, d), 1, block_kv)
     t_pad, s_pad = qp.shape[1], kp.shape[1]
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, s_valid=s,
-                          block_kv=block_kv),
+                          block_kv=block_kv, want_lse=True),
         grid=(b * h, t_pad // block_q, s_pad // block_kv),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, tq, j: (i, tq, 0),
@@ -142,9 +308,14 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, block_kv, d), lambda i, tq, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, tq, j: (i, tq, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(qp.shape, v.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, tq, j: (i, tq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, tq, j: (i, tq, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct(qp.shape, v.dtype),
+                   jax.ShapeDtypeStruct((b * h, t_pad, 1), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -152,4 +323,4 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         ],
         interpret=interpret,
     )(qp, kp, vp)
-    return out[:, :t].reshape(b, h, t, d)
+    return out[:, :t].reshape(b, h, t, d), lse[..., 0]

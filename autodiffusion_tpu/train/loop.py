@@ -162,7 +162,10 @@ class TrainLoop:
             jax.random.key(self.py_rng.getrandbits(32)))
         self.step = int(self.state.step)
         per_ex = np.asarray(metrics.pop("per_example_loss"))
-        self.schedule_sampler.update_with_losses(t, per_ex)
+        # update the sampler actually used this step — under OFA respacing
+        # the t indices live in the respaced [0, K) space, not the base
+        # sampler's
+        sampler.update_with_local_losses(t, per_ex)
         logger.logkv("step", self.step)
         logger.logkv("samples", self.step * self.batch_size)
         logger.logkv_mean("step_time", time.time() - t0)

@@ -33,6 +33,21 @@ class UniformSampler:
     def update_with_losses(self, ts: np.ndarray, losses: np.ndarray) -> None:
         pass
 
+    def update_with_local_losses(self, ts: np.ndarray, losses: np.ndarray) -> None:
+        """Gather per-timestep losses from every data-parallel process before
+        updating the history (reference resample.py:71-104: dist.all_gather
+        of batch sizes + losses). With a single process this is the identity;
+        multi-host, every rank sees the same gathered stream so the sampling
+        distribution stays identical across ranks. jax data shards are
+        equal-sized by construction, so the reference's ragged-batch-size
+        gather is unnecessary."""
+        from ..parallel.dist import all_gather_host
+
+        gathered_ts = np.asarray(all_gather_host(np.asarray(ts))).reshape(-1)
+        gathered_losses = np.asarray(
+            all_gather_host(np.asarray(losses))).reshape(-1)
+        self.update_with_losses(gathered_ts, gathered_losses)
+
 
 class LossSecondMomentResampler(UniformSampler):
     """p_t ∝ sqrt(E[loss_t^2]) with uniform warmup and mixing

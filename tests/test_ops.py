@@ -67,3 +67,45 @@ class TestFlashAttention:
         gr = jax.grad(loss_ref)(q)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    atol=2e-5, rtol=2e-5)
+
+    @pytest.mark.parametrize("t,s,d", [(128, 128, 64), (100, 100, 64),
+                                       (64, 300, 32),    # cross-attn ragged
+                                       (200, 64, 64)])   # t > s, ragged T
+    def test_pallas_backward_all_grads_match_einsum(self, t, s, d):
+        """dq/dk/dv from the Pallas FA-2 backward (lse residual, blockwise
+        p re-formation) vs the einsum VJP, incl. padded/ragged shapes."""
+        rng = np.random.RandomState(4)
+        q = jnp.asarray(rng.randn(2, 2, t, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(2, 2, s, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(2, 2, s, d).astype(np.float32))
+        g = jnp.asarray(rng.randn(2, 2, t, d).astype(np.float32))
+
+        def flash_fn(q, k, v):
+            return flash_attention(q, k, v, block_q=64, block_kv=64,
+                                   interpret=True)
+
+        _, vjp_f = jax.vjp(flash_fn, q, k, v)
+        _, vjp_r = jax.vjp(reference_attention, q, k, v)
+        for got, want, name in zip(vjp_f(g), vjp_r(g), "q k v".split()):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-5,
+                err_msg=f"d{name} mismatch at t={t} s={s} d={d}")
+
+    def test_pallas_backward_bf16(self):
+        rng = np.random.RandomState(5)
+        q = jnp.asarray(rng.randn(1, 2, 128, 64), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(1, 2, 128, 64), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(1, 2, 128, 64), jnp.bfloat16)
+        g = jnp.asarray(rng.randn(1, 2, 128, 64), jnp.bfloat16)
+
+        def flash_fn(q, k, v):
+            return flash_attention(q, k, v, block_q=64, block_kv=64,
+                                   interpret=True)
+
+        grads = jax.vjp(flash_fn, q, k, v)[1](g)
+        refs = jax.vjp(reference_attention, q, k, v)[1](g)
+        for got, want in zip(grads, refs):
+            assert got.dtype == jnp.bfloat16
+            np.testing.assert_allclose(np.asarray(got, np.float32),
+                                       np.asarray(want, np.float32),
+                                       atol=6e-2, rtol=6e-2)

@@ -220,3 +220,107 @@ class TestStochasticEncodeIndex:
         got = q_sample(tables, jnp.asarray(z0),
                        jnp.full((2,), enc_idx), jnp.asarray(noise))
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+
+
+class TestDPMSolverSinglestepAdaptive:
+    """Parity vs the reference singlestep/adaptive DPM-Solver modes
+    (dpm_solver.py:439-500,516-733 singlestep; :909-963 adaptive)."""
+
+    def _setup(self, sd_ref, monkeypatch=None):
+        import sys
+        sys.path.insert(0, sd_ref)
+        import torch
+        from ldm.models.diffusion.dpm_solver.dpm_solver import (DPM_Solver,
+                                                                NoiseScheduleVP,
+                                                                model_wrapper)
+
+        # the reference calls torch.cumsum without dim
+        # (dpm_solver.py:495), which modern torch rejects; shim it
+        if monkeypatch is not None:
+            orig_cumsum = torch.cumsum
+            monkeypatch.setattr(
+                torch, "cumsum",
+                lambda t, dim=0, **kw: orig_cumsum(t, dim, **kw))
+
+        betas = make_beta_schedule("sqrt_linear", 1000)
+        abar = np.cumprod(1.0 - betas)
+        ns_ref = NoiseScheduleVP(
+            "discrete",
+            alphas_cumprod=torch.from_numpy(abar.astype(np.float32)))
+        sched = DiscreteNoiseSchedule.from_betas(betas)
+        rng = np.random.RandomState(0)
+        x0 = rng.randn(2, 3, 8, 8).astype(np.float32)
+
+        def raw_torch(x, t_input):
+            t = np.asarray(t_input, np.float32).reshape(-1, 1, 1, 1)
+            import torch as th
+            return th.tanh(x) * 0.3 + th.from_numpy(t) / 1000.0 * 0.1
+
+        # DPM_Solver expects the model_wrapper-wrapped fn over continuous t
+        model_torch = model_wrapper(raw_torch, ns_ref, model_type="noise")
+
+        def model_jnp(x, t_input):
+            # NHWC layout; elementwise analytic model is layout-agnostic
+            return (jnp.tanh(x) * 0.3
+                    + (t_input.astype(jnp.float32) / 1000.0 * 0.1
+                       ).reshape(-1, 1, 1, 1))
+
+        return ns_ref, DPM_Solver, sched, x0, model_torch, model_jnp
+
+    @pytest.mark.parametrize("steps,order", [(5, 2), (6, 3), (7, 3), (4, 1)])
+    def test_singlestep_matches_reference(self, sd_ref, steps, order,
+                                          monkeypatch):
+        import torch
+        ns_ref, DPM_Solver, sched, x0, model_torch, model_jnp = \
+            self._setup(sd_ref, monkeypatch)
+        solver = DPM_Solver(model_torch, ns_ref, predict_x0=True)
+        with torch.no_grad():
+            want = solver.sample(torch.from_numpy(x0.copy()), steps=steps,
+                                 order=order, skip_type="time_uniform",
+                                 method="singlestep",
+                                 lower_order_final=True).numpy()
+        from autodiffusion_tpu.samplers import dpm_solver_singlestep_loop
+        got = dpm_solver_singlestep_loop(
+            model_jnp, (2, 8, 8, 3), sched, steps=steps, order=order,
+            rng=jax.random.key(0),
+            noise=jnp.asarray(x0.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                   want, atol=5e-4, rtol=5e-4)
+
+    @pytest.mark.parametrize("order", [2, 3])
+    def test_adaptive_matches_reference(self, sd_ref, order):
+        import torch
+        ns_ref, DPM_Solver, sched, x0, model_torch, model_jnp = \
+            self._setup(sd_ref)
+        solver = DPM_Solver(model_torch, ns_ref, predict_x0=True)
+        with torch.no_grad():
+            want = solver.sample(torch.from_numpy(x0.copy()), order=order,
+                                 method="adaptive", atol=0.0078,
+                                 rtol=0.05).numpy()
+        from autodiffusion_tpu.samplers import dpm_solver_adaptive_loop
+        got, nfe = dpm_solver_adaptive_loop(
+            model_jnp, (2, 8, 8, 3), sched, order=order,
+            rng=jax.random.key(0),
+            noise=jnp.asarray(x0.transpose(0, 2, 3, 1)))
+        assert int(nfe) > 0
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                   want, atol=2e-3, rtol=2e-3)
+
+    def test_order_schedule_matches_reference(self, sd_ref):
+        import sys
+        sys.path.insert(0, sd_ref)
+        from autodiffusion_tpu.samplers import singlestep_orders
+        for steps in range(1, 16):
+            for order in (1, 2, 3):
+                if order == 3:
+                    k = steps // 3 + 1
+                    want = ([3] * (k - 2) + [2, 1] if steps % 3 == 0 else
+                            [3] * (k - 1) + [1] if steps % 3 == 1 else
+                            [3] * (k - 1) + [2])
+                elif order == 2:
+                    want = ([2] * (steps // 2) if steps % 2 == 0
+                            else [2] * (steps // 2) + [1])
+                else:
+                    want = [1] * steps
+                got = singlestep_orders(steps, order)
+                assert got == want and sum(got) == steps, (steps, order, got)

@@ -214,3 +214,34 @@ class TestResume:
         state = create_train_state(params, lr=1e-3)
         with pytest.raises(FileNotFoundError):
             resume_train_state(state, str(tmp_path))
+
+
+class TestCrossProcessLossAwareSampler:
+    def test_local_update_gathers_across_processes(self, monkeypatch):
+        """update_with_local_losses must fold every rank's (t, loss) pairs
+        into the history (reference resample.py:71-104), so each rank ends
+        with the identical sampling distribution."""
+        from autodiffusion_tpu.train import LossSecondMomentResampler
+        import autodiffusion_tpu.parallel.dist as dist
+
+        other_t = np.array([5, 6])
+        other_loss = np.array([9.0, 1.0])
+
+        def fake_gather(x):
+            # simulate 2 processes: this rank's data + a peer's
+            peer = other_t if x.dtype.kind in "iu" else other_loss
+            return np.stack([np.asarray(x), peer])
+
+        monkeypatch.setattr(dist, "all_gather_host", fake_gather)
+        s = LossSecondMomentResampler(10, history_per_term=2)
+        s.update_with_local_losses(np.array([1, 2]), np.array([4.0, 2.0]))
+        # both local (1,2) and peer (5,6) timesteps recorded
+        assert s._loss_counts[1] == 1 and s._loss_counts[2] == 1
+        assert s._loss_counts[5] == 1 and s._loss_counts[6] == 1
+        assert s._loss_history[5, 0] == 9.0
+
+    def test_single_process_is_identity(self):
+        from autodiffusion_tpu.train import LossSecondMomentResampler
+        s = LossSecondMomentResampler(10, history_per_term=1)
+        s.update_with_local_losses(np.array([3]), np.array([2.0]))
+        assert s._loss_counts[3] == 1 and s._loss_history[3, 0] == 2.0
