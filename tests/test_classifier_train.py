@@ -3,11 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from autodiffusion_tpu.models import EncoderUNetModel
 from autodiffusion_tpu.schedules import build_base_tables
 from autodiffusion_tpu.train import create_train_state, make_classifier_train_step
 
+
+pytestmark = pytest.mark.slow
 
 class TestClassifierTrain:
     def test_loss_decreases_on_separable_data(self):

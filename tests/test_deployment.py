@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from autodiffusion_tpu.models import UNetModel
 from autodiffusion_tpu.samplers import ddim_sample_loop
@@ -10,6 +11,8 @@ from autodiffusion_tpu.schedules import build_tables
 from autodiffusion_tpu.search import parse_joint_string
 from autodiffusion_tpu.search.pipelines import keep_masks_for
 
+
+pytestmark = pytest.mark.slow
 
 def _tiny():
     m = UNetModel(model_channels=32, out_channels=6, num_res_blocks=1,

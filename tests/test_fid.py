@@ -90,6 +90,7 @@ class TestStats:
         np.testing.assert_array_equal(s.sigma, s2.sigma)
 
 
+@pytest.mark.slow
 class TestInceptionArch:
     @pytest.fixture(scope="class")
     def params(self):

@@ -28,6 +28,8 @@ from autodiffusion_tpu.models.convert import convert_classifier, convert_unet
 from autodiffusion_tpu.search.pipelines import make_adm_fitness
 from tests.test_models import tiny_model
 
+pytestmark = pytest.mark.slow
+
 IMG = 16
 BATCH = 4
 NUM_SAMPLES = 8          # 2 batches per candidate

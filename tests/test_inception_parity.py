@@ -28,6 +28,8 @@ torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 from torch import nn  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 class TBasicConv2d(nn.Module):
     def __init__(self, cin, cout, **kw):

@@ -9,6 +9,8 @@ from autodiffusion_tpu.models import (ModelConfig, UNetModel, attention_ds,
                                       create_model, unet_layer_count)
 from autodiffusion_tpu.models.convert import convert_classifier, convert_unet
 
+pytestmark = pytest.mark.slow
+
 TINY = dict(model_channels=32, out_channels=3, num_res_blocks=1,
             attention_ds=(2,), channel_mult=(1, 2), num_head_channels=32,
             use_scale_shift_norm=True, resblock_updown=True,

@@ -15,6 +15,9 @@ from autodiffusion_tpu.search import ContinuousTimeSpace, EvolutionSearcher, Tim
 from autodiffusion_tpu.search.sd_pipelines import make_sd_fitness
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def tiny_sd():
     unet = SDUNetModel(in_channels=4, model_channels=32, out_channels=4,

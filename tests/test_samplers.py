@@ -12,6 +12,8 @@ from autodiffusion_tpu.samplers import (ModelMeanType, ModelVarType,
                                         p_mean_variance, p_sample_loop, q_sample)
 from autodiffusion_tpu.schedules import build_tables, stack_tables
 
+pytestmark = pytest.mark.slow
+
 SPEC6 = [94, 834, 217, 944, 574, 354]
 
 

@@ -12,6 +12,8 @@ from autodiffusion_tpu.models import (AutoencoderKL, CLIPTextConfig,
 from autodiffusion_tpu.models.clip_text import convert_clip_text
 from autodiffusion_tpu.models.sd_convert import convert_sd_unet, convert_vae
 
+pytestmark = pytest.mark.slow
+
 SD_REF = "/root/reference/examples/Stable Diffusion"
 
 

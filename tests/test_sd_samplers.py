@@ -13,6 +13,8 @@ from autodiffusion_tpu.samplers import (DiscreteNoiseSchedule, ModelMeanType,
                                         dpm_solver_times, plms_sample_loop)
 from autodiffusion_tpu.schedules import build_sd_tables, make_beta_schedule
 
+pytestmark = pytest.mark.slow
+
 SD_REF = "/root/reference/examples/Stable Diffusion"
 
 

@@ -15,6 +15,8 @@ from autodiffusion_tpu.search import (BatchedFIDFitness, ContinuousTimeSpace,
                                       parse_timestep_string,
                                       progressive_skip_hook, to_uint8)
 
+pytestmark = pytest.mark.slow
+
 
 class TestSpaces:
     def test_timestep_random_properties(self):
@@ -57,6 +59,7 @@ class TestSpaces:
             "{'timesteps': [744, 137], 'skip_layers': [[3, 1], [2]]}")
         assert ts == (137, 744)
         assert sk == ((2,), (1, 3))   # aligned to sorted timesteps
+
 
     def test_joint_budget_respected(self):
         sp = JointSpace(1000, layer_num=10, max_index_number=35,

@@ -19,6 +19,8 @@ from autodiffusion_tpu.parallel import data_sharder, make_mesh, replicate
 from autodiffusion_tpu.search import TimestepSpace, make_adm_fitness
 
 
+pytestmark = pytest.mark.slow
+
 class TestShardedFitness:
     def test_fitness_runs_sharded_over_mesh(self):
         assert jax.device_count() == 8

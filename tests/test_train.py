@@ -16,6 +16,8 @@ from autodiffusion_tpu.train import (LossSecondMomentResampler, LossType,
                                      make_train_step, normal_kl,
                                      training_losses)
 
+pytestmark = pytest.mark.slow
+
 SPEC6 = [94, 834, 217, 944, 574, 354]
 
 
@@ -58,6 +60,7 @@ class TestLossParity:
     def test_normal_kl_zero_for_identical(self):
         kl = normal_kl(jnp.ones(3), jnp.zeros(3), jnp.ones(3), jnp.zeros(3))
         np.testing.assert_allclose(np.asarray(kl), 0.0, atol=1e-7)
+
 
 
 class TestResamplers:
