@@ -456,6 +456,82 @@ def cmd_img2img(args) -> int:
     return 0
 
 
+def cmd_train_classifier(args) -> int:
+    """Train the noisy guidance classifier (scripts/classifier_train.py)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from ..data import load_data
+    from ..models import ClassifierConfig, create_classifier
+    from ..parallel import data_sharder, make_mesh, replicate, shard_batch
+    from ..schedules import build_base_tables
+    from ..train import create_train_state, make_classifier_train_step
+    from ..train.loop import resume_train_state
+    from ..utils.checkpoint import save_tree
+
+    logger.configure(args.save_dir or None)
+    cfg = ClassifierConfig(
+        image_size=args.image_size, classifier_width=args.classifier_width,
+        classifier_depth=args.classifier_depth,
+        classifier_attention_resolutions=args.classifier_attention_resolutions,
+        classifier_use_scale_shift_norm=args.classifier_use_scale_shift_norm,
+        classifier_resblock_updown=args.classifier_resblock_updown,
+        classifier_pool=args.classifier_pool,
+        classifier_use_bf16=args.classifier_use_bf16)
+    clf = create_classifier(cfg, num_classes=args.num_classes)
+    x1 = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    params = clf.init(jax.random.key(args.seed), x1, jnp.zeros((1,)))
+
+    mesh = make_mesh()
+    params = replicate(mesh, params)
+    state = create_train_state(
+        params, lr=args.lr, weight_decay=args.weight_decay,
+        ema_rates=(), lr_anneal_steps=args.iterations if args.anneal_lr else 0)
+    if args.resume_checkpoint:
+        state = resume_train_state(state, args.resume_checkpoint,
+                                   device_put_fn=lambda t: replicate(mesh, t))
+    sharder = data_sharder(mesh)
+    raw_step = make_classifier_train_step(clf.apply, noised=args.noised)
+
+    def sharded_step(state, tables, batch, t, rng):
+        batch = dict(batch, x=sharder(batch["x"]))
+        return raw_step(state, tables, batch, t, rng)
+
+    step = jax.jit(sharded_step)
+    tables = build_base_tables(args.noise_schedule, args.diffusion_steps)
+    data = map(lambda b: shard_batch(mesh, b),
+               load_data(data_dir=args.data_dir, batch_size=args.batch_size,
+                         image_size=cfg.image_size, class_cond=True,
+                         random_crop=True))
+    rng = np.random.RandomState(args.seed)
+    i = int(state.step)
+    with mesh:
+        while i < args.iterations:
+            t0 = time.time()
+            batch = next(data)
+            t = jnp.asarray(rng.randint(0, tables.num_steps, args.batch_size))
+            state, metrics = step(state, tables,
+                                  {k: jnp.asarray(v) for k, v in batch.items()},
+                                  t, jax.random.key(rng.randint(2 ** 31)))
+            i = int(state.step)
+            metrics.pop("per_example_loss", None)
+            logger.logkv("step", i)
+            logger.logkv("samples", i * args.batch_size)
+            logger.logkv_mean("step_time", time.time() - t0)
+            for k, v in metrics.items():
+                logger.logkv_mean(k, float(v))
+            if i % args.log_interval == 0:
+                logger.dumpkvs()
+            if args.save_dir and args.save_interval and \
+                    i % args.save_interval == 0:
+                save_tree(f"{args.save_dir}/model{i:06d}.msgpack", state.params)
+                save_tree(f"{args.save_dir}/opt{i:06d}.msgpack", state.opt_state)
+    if args.save_dir and i % (args.save_interval or 1) != 0:
+        save_tree(f"{args.save_dir}/model{i:06d}.msgpack", state.params)
+    return 0
+
+
 def cmd_nll(args) -> int:
     """Bits/dim over a dataset (scripts/image_nll.py)."""
     import jax
@@ -695,6 +771,19 @@ def main(argv=None) -> int:
         dropout=0.1, resblock_updown=True, use_scale_shift_norm=True,
         use_new_attention_order=True, use_bf16=True, channel_mult=""))
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("train-classifier",
+                       help="train the noisy guidance classifier")
+    add_dict_to_argparser(p, dict(
+        data_dir="", save_dir="", resume_checkpoint="", noised=True,
+        iterations=150000, lr=3e-4, weight_decay=0.05, anneal_lr=False,
+        batch_size=4, log_interval=10, save_interval=10000, seed=0,
+        num_classes=1000, noise_schedule="cosine", diffusion_steps=1000,
+        image_size=64, classifier_width=128, classifier_depth=2,
+        classifier_attention_resolutions="32,16,8",
+        classifier_use_scale_shift_norm=True, classifier_resblock_updown=True,
+        classifier_pool="attention", classifier_use_bf16=True))
+    p.set_defaults(fn=cmd_train_classifier)
 
     p = sub.add_parser("nll", help="bits/dim over a dataset")
     add_dict_to_argparser(p, dict(

@@ -165,10 +165,11 @@ def create_sr_model(cfg: ModelConfig, large_size: int = 256,
     return SuperResModel(unet=unet)
 
 
-def create_classifier(cfg: ClassifierConfig) -> EncoderUNetModel:
+def create_classifier(cfg: ClassifierConfig,
+                      num_classes: int = None) -> EncoderUNetModel:
     return EncoderUNetModel(
         model_channels=cfg.classifier_width,
-        out_channels=NUM_CLASSES,
+        out_channels=num_classes or NUM_CLASSES,
         num_res_blocks=cfg.classifier_depth,
         attention_ds=attention_ds(cfg.image_size, cfg.classifier_attention_resolutions),
         channel_mult=parse_channel_mult(cfg.image_size),

@@ -121,6 +121,7 @@ class BatchedFIDFitness:
         n_real = len(cands)
         cands = list(cands) + [cands[-1]] * (self.candidate_chunk - n_real)
         c = len(cands)
+        t0 = time.time()
         payloads = [self.payload_fn(x) for x in cands]
         # stack [C, ...] then expand per-sample to [C*B, ...]: sample j
         # belongs to candidate j // batch_size
@@ -129,6 +130,9 @@ class BatchedFIDFitness:
                 jnp.stack([jnp.asarray(x) for x in xs], axis=0),
                 self.batch_size, axis=0),
             *payloads)
+        reset_time = time.time() - t0
+
+        t0 = time.time()
         stats = FeatureStats(
             n=jnp.zeros((c,)),
             s1=jnp.zeros((c, self.feature_dim)),
@@ -136,16 +140,28 @@ class BatchedFIDFitness:
         )
         n_batches = -(-self.num_samples // self.batch_size)
         base_rng = jax.random.key(self.seed)
-        for b in range(n_batches):
-            rng = jax.random.fold_in(jax.random.fold_in(base_rng, self._eval_count), b)
-            stats = self._chunk_step(self.static_payload, per_sample, stats,
-                                     self._shift, rng, jnp.int32(b))
+        with jax.profiler.TraceAnnotation("fitness_sample"):
+            for b in range(n_batches):
+                rng = jax.random.fold_in(
+                    jax.random.fold_in(base_rng, self._eval_count), b)
+                stats = self._chunk_step(self.static_payload, per_sample,
+                                         stats, self._shift, rng, jnp.int32(b))
+            stats = jax.block_until_ready(stats)
         self._eval_count += 1
+        sample_time = time.time() - t0
+
+        t0 = time.time()
         out = []
-        for i in range(n_real):
-            st = jax.tree_util.tree_map(lambda a, i=i: a[i], stats)
-            # eigh formulation: ~10x faster than sqrtm per candidate and
-            # equal to ~1e-6 relative (see fid.stats.frechet_distance_eigh)
-            out.append(frechet_distance_eigh(
-                finalize_stats(st, shift=self.ref_stats.mu), self.ref_stats))
+        with jax.profiler.TraceAnnotation("fitness_fid"):
+            for i in range(n_real):
+                st = jax.tree_util.tree_map(lambda a, i=i: a[i], stats)
+                # eigh formulation: ~10x faster than sqrtm per candidate and
+                # equal to ~1e-6 relative (fid.stats.frechet_distance_eigh)
+                out.append(frechet_distance_eigh(
+                    finalize_stats(st, shift=self.ref_stats.mu),
+                    self.ref_stats))
+        # the reference's per-phase timing line
+        # (search_imagenet64_classifier_guidance.py:375)
+        logger.log(f"reset_time: {reset_time:.3f}, sample_time: "
+                   f"{sample_time:.3f}, fid_time: {time.time() - t0:.3f}")
         return out

@@ -89,20 +89,60 @@ class CSVOutput:
             w.writerow({k: kvs.get(k, "") for k in self.keys})
 
 
+class TensorBoardOutput:
+    """Scalar summaries via torch.utils.tensorboard (the reference's
+    optional TensorBoard writer, logger.py:152-189 + the tensorboardX
+    SummaryWriter in train_util.py:119-122). No-op if tensorboard is not
+    installed."""
+
+    def __init__(self, dir: str):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self.writer = SummaryWriter(dir)
+        self._auto_step = 0
+
+    def writekvs(self, kvs) -> None:
+        step = int(kvs.get("step", self._auto_step))
+        for k, v in kvs.items():
+            if k == "step":
+                continue
+            try:
+                self.writer.add_scalar(k, float(v), step)
+            except (TypeError, ValueError):
+                pass
+        self.writer.flush()
+        self._auto_step += 1
+
+
 class Logger:
     CURRENT: "Optional[Logger]" = None
 
-    def __init__(self, dir: Optional[str], log_to_stdout: bool = True):
+    def __init__(self, dir: Optional[str], log_to_stdout: bool = True,
+                 formats: Optional[List[str]] = None):
         self.dir = dir
         self.name2val: Dict[str, Any] = defaultdict(float)
         self.name2cnt: Dict[str, int] = defaultdict(int)
         self.outputs: List[Any] = []
-        self.text_outputs: List[Any] = [HumanOutput(sys.stdout)] if log_to_stdout else []
+        if formats is None:
+            formats = os.environ.get(
+                "ADT_LOG_FORMAT", "stdout,log,csv,json").split(",")
+        self.text_outputs: List[Any] = \
+            [HumanOutput(sys.stdout)] if (log_to_stdout and "stdout" in formats) else []
         if dir is not None:
             os.makedirs(dir, exist_ok=True)
-            self.text_outputs.append(HumanOutput(open(osp.join(dir, "log.txt"), "at")))
-            self.outputs = [CSVOutput(osp.join(dir, "progress.csv")),
-                            JSONOutput(osp.join(dir, "progress.json"))]
+            if "log" in formats:
+                self.text_outputs.append(
+                    HumanOutput(open(osp.join(dir, "log.txt"), "at")))
+            if "csv" in formats:
+                self.outputs.append(CSVOutput(osp.join(dir, "progress.csv")))
+            if "json" in formats:
+                self.outputs.append(JSONOutput(osp.join(dir, "progress.json")))
+            if "tensorboard" in formats:
+                try:
+                    self.outputs.append(
+                        TensorBoardOutput(osp.join(dir, "tb")))
+                except ImportError:
+                    self.log("tensorboard requested but not installed; skipping")
 
     def log(self, *args) -> None:
         for o in self.text_outputs:
@@ -126,13 +166,17 @@ class Logger:
         return d
 
 
-def configure(dir: Optional[str] = None, log_to_stdout: bool = True) -> Logger:
+def configure(dir: Optional[str] = None, log_to_stdout: bool = True,
+              formats: Optional[List[str]] = None) -> Logger:
+    """formats: subset of {stdout, log, csv, json, tensorboard}; defaults to
+    the ADT_LOG_FORMAT env var (OPENAI_LOG_FORMAT analog, logger.py:442-472)
+    or 'stdout,log,csv,json'."""
     if dir is None:
         dir = os.environ.get("ADT_LOGDIR")
     if dir is None:
         dir = osp.join("/tmp", "adt-" +
                        datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S-%f"))
-    Logger.CURRENT = Logger(dir, log_to_stdout)
+    Logger.CURRENT = Logger(dir, log_to_stdout, formats=formats)
     log(f"Logging to {dir}")
     return Logger.CURRENT
 

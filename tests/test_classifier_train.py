@@ -38,3 +38,35 @@ class TestClassifierTrain:
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0]
         assert float(m["acc@1"]) >= 0.5
+
+
+class TestClassifierTrainCLI:
+    def test_train_classifier_subcommand_end_to_end(self, tmp_path):
+        """adt train-classifier smoke: trains, saves, and resumes
+        (scripts/classifier_train.py parity at the CLI layer)."""
+        PIL = pytest.importorskip("PIL")
+        from PIL import Image
+
+        from autodiffusion_tpu.cli.main import main
+
+        data = tmp_path / "imgs"
+        data.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(8):
+            arr = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(data / f"cls{i % 2}_im{i}.png")
+        save = str(tmp_path / "ckpt")
+        args = ["train-classifier", "--data_dir", str(data),
+                "--image_size", "32", "--classifier_width", "32",
+                "--classifier_depth", "1",
+                "--classifier_attention_resolutions", "16",
+                "--batch_size", "8", "--num_classes", "2",
+                "--save_interval", "2", "--save_dir", save,
+                "--log_interval", "1"]
+        assert main(args + ["--iterations", "2"]) == 0
+        import os
+        assert "model000002.msgpack" in os.listdir(save)
+        # resume continues the step counter
+        assert main(args + ["--iterations", "3",
+                            "--resume_checkpoint", save]) == 0
+        assert "model000003.msgpack" in os.listdir(save)

@@ -1,6 +1,7 @@
 """Logger: writers, kv accumulation, profiling, greppable formats."""
 
 import json
+import pytest
 import os
 
 import numpy as np
@@ -57,3 +58,33 @@ class TestLogger:
 
         assert f() == 42
         assert "wait_fn" in logger.dumpkvs()
+
+
+class TestTensorBoardOutput:
+    def test_tensorboard_format_writes_event_file(self, tmp_path):
+        pytest.importorskip("torch.utils.tensorboard")
+        import os
+
+        from autodiffusion_tpu.utils import logger as lg
+        lg.configure(str(tmp_path), log_to_stdout=False,
+                     formats=["log", "tensorboard"])
+        lg.logkv("step", 3)
+        lg.logkv("loss", 1.25)
+        lg.dumpkvs()
+        tb_dir = tmp_path / "tb"
+        assert tb_dir.is_dir()
+        assert any(f.startswith("events.out.tfevents")
+                   for f in os.listdir(tb_dir))
+        lg.configure(None, log_to_stdout=False)  # reset global state
+
+    def test_default_formats_unchanged(self, tmp_path):
+        import os
+
+        from autodiffusion_tpu.utils import logger as lg
+        lg.configure(str(tmp_path), log_to_stdout=False)
+        lg.logkv("a", 1)
+        lg.dumpkvs()
+        names = set(os.listdir(tmp_path))
+        assert {"log.txt", "progress.csv", "progress.json"} <= names
+        assert "tb" not in names
+        lg.configure(None, log_to_stdout=False)
