@@ -167,6 +167,12 @@ def cmd_sample(args) -> int:
         cparams = convert_classifier(
             load_torch_state_dict(args.classifier_path), classifier)
 
+    # shard the batch axis over the device mesh, like the search fitness
+    # path (data_sharder) — each chip denoises its slice of the batch
+    from ..parallel import data_sharder, make_mesh
+    mesh = make_mesh()
+    shard_fn = data_sharder(mesh)
+
     all_imgs, all_labels = [], []
     rng = jax.random.key(args.seed)
     n_done = 0
@@ -186,9 +192,14 @@ def cmd_sample(args) -> int:
                 lambda x, t: classifier.apply(cparams, x, t), y,
                 args.classifier_scale)
         loop = ddim_sample_loop if args.use_ddim else p_sample_loop
-        x0 = loop(model_fn, (args.batch_size, cfg.image_size, cfg.image_size, 3),
-                  tables, rng=step_rng, cond_fn=cond_fn)
-        all_imgs.append(np.asarray(to_uint8(x0)))
+        shape = (args.batch_size, cfg.image_size, cfg.image_size, 3)
+        rng_noise, step_rng = jax.random.split(step_rng)
+        with mesh:
+            noise = shard_fn(jax.random.normal(rng_noise, shape))
+            x0 = loop(model_fn, shape, tables, rng=step_rng, cond_fn=cond_fn,
+                      noise=noise)
+            imgs = to_uint8(x0)
+        all_imgs.append(np.asarray(imgs))
         if y is not None:
             all_labels.append(np.asarray(y))
         n_done += args.batch_size
