@@ -25,7 +25,7 @@ import numpy as np
 
 __all__ = ["DiscreteNoiseSchedule", "dpm_solver_sample_loop",
            "dpm_solver_singlestep_loop", "dpm_solver_adaptive_loop",
-           "dpm_solver_times", "singlestep_orders"]
+           "dpm_solver_times", "singlestep_orders", "dpm_model_wrapper"]
 
 
 class DiscreteNoiseSchedule(NamedTuple):
@@ -479,3 +479,80 @@ def dpm_solver_adaptive_loop(model_fn: Callable, shape,
         cond, body, (x_T, x_T, jnp.float32(t_T), jnp.float32(h_init),
                      jnp.int32(0), jnp.int32(0)))
     return x, nfe
+
+
+def dpm_model_wrapper(raw_model: Callable, schedule: DiscreteNoiseSchedule, *,
+                      model_type: str = "noise",
+                      guidance_type: str = "uncond",
+                      guidance_scale: float = 1.0,
+                      classifier_fn: Optional[Callable] = None,
+                      condition=None, uncond_condition=None) -> Callable:
+    """Build the eps-prediction model_fn(x, t_model) the solver loops expect,
+    covering the reference model_wrapper variants (dpm_solver.py:177-348):
+
+    model_type: 'noise' | 'x_start' | 'v' | 'score' — output parameterization
+        converted to eps via the marginal alpha/sigma at t.
+    guidance_type:
+        'uncond'          — raw_model(x, t_model)
+        'classifier'      — eps - scale * sigma_t * grad_x log p(cond|x)
+                            (classifier_fn(x, t_model, cond) -> log prob [B])
+        'classifier-free' — 2x-batch CFG over (uncond_condition, condition);
+                            raw_model(x, t_model, c) conditional signature.
+    """
+    assert model_type in ("noise", "x_start", "v", "score"), model_type
+    assert guidance_type in ("uncond", "classifier", "classifier-free"), \
+        guidance_type
+    n = schedule.t_array.shape[-1]
+
+    def t_cont_of(t_model):
+        return t_model / n + 1.0 / n    # inverse of model_input_time
+
+    def bshape(v, x):
+        v = jnp.asarray(v)
+        return v.reshape(v.shape + (1,) * (x.ndim - 1))
+
+    def to_eps(out, x, t_model):
+        if model_type == "noise":
+            return out
+        t = t_cont_of(t_model[0])
+        alpha = schedule.marginal_alpha(t)
+        sigma = schedule.marginal_std(t)
+        if model_type == "x_start":
+            return (x - bshape(alpha, x) * out) / bshape(sigma, x)
+        if model_type == "v":
+            return bshape(alpha, x) * out + bshape(sigma, x) * x
+        return -bshape(sigma, x) * out          # score
+
+    def noise_pred(x, t_model, cond=None):
+        out = raw_model(x, t_model) if cond is None else \
+            raw_model(x, t_model, cond)
+        return to_eps(out, x, t_model)
+
+    if guidance_type == "uncond":
+        return noise_pred
+
+    if guidance_type == "classifier":
+        assert classifier_fn is not None
+
+        def guided(x, t_model):
+            grad = jax.grad(
+                lambda xx: classifier_fn(xx, t_model, condition).sum())(x)
+            sigma = schedule.marginal_std(t_cont_of(t_model[0]))
+            return noise_pred(x, t_model) - guidance_scale * \
+                bshape(sigma, x) * grad
+
+        return guided
+
+    def cfg(x, t_model):
+        if guidance_scale == 1.0 or uncond_condition is None:
+            return noise_pred(x, t_model, condition)
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t_model, t_model], axis=0)
+        c2 = jax.tree_util.tree_map(
+            lambda u, c: jnp.concatenate([u, c], axis=0),
+            uncond_condition, condition)
+        eps = noise_pred(x2, t2, c2)
+        e_u, e_c = eps[: x.shape[0]], eps[x.shape[0]:]
+        return e_u + guidance_scale * (e_c - e_u)
+
+    return cfg

@@ -326,3 +326,105 @@ class TestDPMSolverSinglestepAdaptive:
                     want = [1] * steps
                 got = singlestep_orders(steps, order)
                 assert got == want and sum(got) == steps, (steps, order, got)
+
+
+class TestDPMModelWrapper:
+    """dpm_model_wrapper vs the reference model_wrapper variants
+    (dpm_solver.py:177-348): model_type conversions and guidance types."""
+
+    def _setup(self, sd_ref):
+        import sys
+        sys.path.insert(0, sd_ref)
+        import torch
+        from ldm.models.diffusion.dpm_solver.dpm_solver import (NoiseScheduleVP,
+                                                                model_wrapper)
+        betas = make_beta_schedule("sqrt_linear", 1000)
+        abar = np.cumprod(1.0 - betas)
+        ns = NoiseScheduleVP(
+            "discrete", alphas_cumprod=torch.from_numpy(abar.astype(np.float32)))
+        from autodiffusion_tpu.samplers import DiscreteNoiseSchedule
+        sched = DiscreteNoiseSchedule.from_betas(betas)
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 3, 4, 4).astype(np.float32)
+        t_cont = np.array([0.4, 0.4], np.float32)
+        return ns, model_wrapper, sched, x, t_cont
+
+    @pytest.mark.parametrize("model_type", ["noise", "x_start", "v"])
+    def test_model_type_conversions(self, sd_ref, model_type):
+        import torch
+        ns, model_wrapper, sched, x, t_cont = self._setup(sd_ref)
+
+        def raw_torch(x, t_input):
+            t = np.asarray(t_input, np.float32).reshape(-1, 1, 1, 1)
+            return torch.tanh(x) * 0.5 + torch.from_numpy(t) / 1000.0
+
+        wrapped = model_wrapper(raw_torch, ns, model_type=model_type)
+        with torch.no_grad():
+            want = wrapped(torch.from_numpy(x.copy()),
+                           torch.from_numpy(t_cont)).numpy()
+
+        from autodiffusion_tpu.samplers import dpm_model_wrapper
+        raw_jnp = lambda x, t: (jnp.tanh(x) * 0.5
+                                + (t.astype(jnp.float32) / 1000.0
+                                   ).reshape(-1, 1, 1, 1))
+        ours = dpm_model_wrapper(raw_jnp, sched, model_type=model_type)
+        t_model = np.asarray(sched.model_input_time(jnp.asarray(t_cont)))
+        got = ours(jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t_model))
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                   want, atol=2e-4, rtol=2e-4)
+
+    def test_classifier_guidance(self, sd_ref):
+        import torch
+        ns, model_wrapper, sched, x, t_cont = self._setup(sd_ref)
+
+        def raw_torch(x, t_input):
+            return torch.tanh(x) * 0.5
+
+        def clf_torch(x, t_input, cond, **kw):
+            return -(x ** 2).reshape(x.shape[0], -1).sum(-1) * 0.01
+
+        wrapped = model_wrapper(
+            raw_torch, ns, model_type="noise", guidance_type="classifier",
+            classifier_fn=clf_torch, guidance_scale=2.0, condition=None,
+            classifier_kwargs={})
+        want = wrapped(torch.from_numpy(x.copy()),
+                       torch.from_numpy(t_cont)).numpy()
+
+        from autodiffusion_tpu.samplers import dpm_model_wrapper
+        ours = dpm_model_wrapper(
+            lambda x, t: jnp.tanh(x) * 0.5, sched, model_type="noise",
+            guidance_type="classifier", guidance_scale=2.0,
+            classifier_fn=lambda x, t, c: -(x ** 2).reshape(x.shape[0], -1
+                                                            ).sum(-1) * 0.01)
+        t_model = np.asarray(sched.model_input_time(jnp.asarray(t_cont)))
+        got = ours(jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t_model))
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                   want, atol=2e-4, rtol=2e-4)
+
+    def test_classifier_free_guidance(self, sd_ref):
+        import torch
+        ns, model_wrapper, sched, x, t_cont = self._setup(sd_ref)
+        cond = np.full((2, 4), 0.7, np.float32)
+        uncond = np.zeros((2, 4), np.float32)
+
+        def raw_torch(x, t_input, c):
+            return torch.tanh(x) * 0.5 + c.mean(-1).reshape(-1, 1, 1, 1)
+
+        wrapped = model_wrapper(
+            raw_torch, ns, model_type="noise", guidance_type="classifier-free",
+            guidance_scale=3.5, condition=torch.from_numpy(cond),
+            unconditional_condition=torch.from_numpy(uncond))
+        with torch.no_grad():
+            want = wrapped(torch.from_numpy(x.copy()),
+                           torch.from_numpy(t_cont)).numpy()
+
+        from autodiffusion_tpu.samplers import dpm_model_wrapper
+        ours = dpm_model_wrapper(
+            lambda x, t, c: jnp.tanh(x) * 0.5 + c.mean(-1).reshape(-1, 1, 1, 1),
+            sched, model_type="noise", guidance_type="classifier-free",
+            guidance_scale=3.5, condition=jnp.asarray(cond),
+            uncond_condition=jnp.asarray(uncond))
+        t_model = np.asarray(sched.model_input_time(jnp.asarray(t_cont)))
+        got = ours(jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t_model))
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                   want, atol=2e-4, rtol=2e-4)
