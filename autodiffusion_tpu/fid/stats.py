@@ -143,6 +143,43 @@ def frechet_distance_eigh(s1: FIDStats, s2: FIDStats) -> float:
                  - 2.0 * tr_sqrt)
 
 
+def make_device_frechet(ref_stats: FIDStats):
+    """On-device Frechet distance from SHIFT-CENTERED FeatureStats sums.
+
+    The host eigh path costs ~20 s per candidate at D=2048 (two 2048^2
+    eigendecompositions plus a 17 MB moment-matrix transfer per candidate —
+    ruinous through a tunneled TPU). Here sqrt(sigma_ref) is precomputed
+    ONCE on host in float64, and each candidate needs a single on-device
+    f32 eigvalsh of sqrt_ref @ sigma @ sqrt_ref; only the [C] scalars come
+    back to host. Requires the stats to have been accumulated with
+    shift=ref_stats.mu (see accumulate_stats), so mu - mu_ref == s1/n.
+
+    Returns fn(stats: FeatureStats with [C, ...] leading axes) -> [C] FIDs.
+    """
+    import jax
+
+    w, v = np.linalg.eigh(np.asarray(ref_stats.sigma, np.float64))
+    sqrt_ref = (v * np.sqrt(np.maximum(w, 0.0))) @ v.T
+    sqrt_ref = jnp.asarray(sqrt_ref, jnp.float32)
+    tr_ref = float(np.trace(ref_stats.sigma))
+
+    def one(n, s1, s2):
+        mu_delta = s1 / n                       # == mu - mu_ref (centered)
+        sigma = (s2 - n * jnp.outer(mu_delta, mu_delta)) / (n - 1.0)
+        inner = sqrt_ref @ sigma @ sqrt_ref
+        ev = jnp.linalg.eigvalsh((inner + inner.T) / 2.0)
+        tr_sqrt = jnp.sqrt(jnp.maximum(ev, 0.0)).sum()
+        return (mu_delta @ mu_delta + jnp.trace(sigma) + tr_ref
+                - 2.0 * tr_sqrt)
+
+    batched = jax.jit(jax.vmap(one))
+
+    def fn(stats: FeatureStats) -> np.ndarray:
+        return np.asarray(batched(stats.n, stats.s1, stats.s2))
+
+    return fn
+
+
 def inception_score(softmax_probs: np.ndarray, split_size: int = 5000) -> float:
     """exp(E KL(p(y|x) || p(y))) over splits (evaluator_v1.py:223-236)."""
     preds = np.asarray(softmax_probs, dtype=np.float64)

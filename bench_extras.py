@@ -1,0 +1,180 @@
+"""Secondary measured benchmarks (BASELINE.md "imgs/sec/chip; search hours").
+
+bench.py prints the single driver-graded headline; this script measures the
+numbers users actually pay for and writes them to BENCH_EXTRAS.json:
+
+  adm64_fitness_full   — TRUE candidate fitness cost: guided DDIM-4 sampling
+                         + InceptionV3 pool3 features + streamed moments +
+                         eigh Frechet, per candidate, at the bench config
+                         (CHUNK=2 x BATCH=16) and at the published search
+                         config slice (batch 100, chunk 4 folded = N=400).
+  lsun256_ddim15       — published searched 15-step LSUN-bedroom schedule
+                         (sample_LSUN_bedroom_subnet.sh), full 553M uncond
+                         UNet, imgs/sec/chip.
+  sd_plms4_step        — SD v1 CFG denoise step at the search batch (6),
+                         ms/step.
+
+Weights are zeros via eval_shape (identical shapes/dtypes to the published
+checkpoints; zero weights change no FLOPs). Run: python bench_extras.py
+[adm_fitness|adm_fitness_search|lsun|sd ...]; writes/merges BENCH_EXTRAS.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "BENCH_EXTRAS.json")
+
+
+def _sync(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+
+
+def _zeros_like_shapes(shapes):
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def bench_adm_fitness(chunk: int, batch: int, n_batches: int = 2):
+    """Full fitness: sampling + inception + moments + frechet per candidate."""
+    from autodiffusion_tpu.fid import (FIDInceptionV3, FIDStats,
+                                       make_inception_feature_fn)
+    from autodiffusion_tpu.models import (ClassifierConfig, ModelConfig,
+                                          create_classifier, create_model)
+    from autodiffusion_tpu.search import TimestepSpace, make_adm_fitness
+
+    model = create_model(ModelConfig.adm64())
+    clf = create_classifier(ClassifierConfig.adm64())
+    x1 = jnp.zeros((1, 64, 64, 3))
+    shapes = jax.eval_shape(
+        lambda: (model.init(jax.random.key(0), x1, jnp.zeros((1,)),
+                            jnp.zeros((1,), jnp.int32)),
+                 clf.init(jax.random.key(1), x1, jnp.zeros((1,))),
+                 FIDInceptionV3().init(jax.random.key(2),
+                                       jnp.zeros((1, 299, 299, 3)))))
+    params, cparams, iparams = _zeros_like_shapes(shapes)
+    jax.block_until_ready((params, cparams, iparams))
+
+    ref = FIDStats(np.zeros(2048), np.eye(2048))
+    feature_fn = make_inception_feature_fn(iparams)
+    num_samples = batch * n_batches
+    fitness = make_adm_fitness(
+        model=model, params=params, image_size=64, feature_fn=feature_fn,
+        ref_stats=ref, num_samples=num_samples, batch_size=batch,
+        classifier=clf, classifier_params=cparams, classifier_scale=1.0,
+        num_classes=1000, candidate_chunk=chunk, seed=0)
+
+    space = TimestepSpace(1000, 4)
+    cands = [space.seed()] + [space.random() for _ in range(chunk - 1)]
+    fitness(cands)                        # warmup/compile
+    t0 = time.time()
+    fitness(cands)
+    dt = time.time() - t0
+    per_cand = dt / chunk
+    return {
+        "metric": f"adm64_guided_ddim4_full_fitness_chunk{chunk}x{batch}",
+        "value": round(per_cand, 3), "unit": f"sec/candidate ({num_samples} samples)",
+        "imgs_per_sec_chip": round(chunk * num_samples / dt, 2),
+        "includes": "sampling + inceptionv3 pool3 + moments + eigh frechet",
+    }
+
+
+def bench_lsun256():
+    from autodiffusion_tpu.models import ModelConfig, create_model
+    from autodiffusion_tpu.samplers import ddim_sample_loop
+    from autodiffusion_tpu.schedules import build_tables
+
+    # published searched 15-step schedule (sample_LSUN_bedroom_subnet.sh:8)
+    spec = [644, 737, 67, 804, 134, 871, 6, 639, 268, 335, 402, 469, 536, 603, 670]
+    cfg = ModelConfig.lsun256()
+    model = create_model(cfg)
+    x1 = jnp.zeros((1, 256, 256, 3))
+    shapes = jax.eval_shape(lambda: model.init(jax.random.key(0), x1,
+                                               jnp.zeros((1,))))
+    params = _zeros_like_shapes(shapes)
+    jax.block_until_ready(params)
+    tables = build_tables(spec, base_schedule=cfg.noise_schedule)
+    B = 8
+
+    def sample(params, tables, rng):
+        return ddim_sample_loop(lambda x, t, i: model.apply(params, x, t),
+                                (B, 256, 256, 3), tables, rng=rng)
+
+    f = jax.jit(sample)
+    _sync(f(params, tables, jax.random.key(0)))
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        _sync(f(params, tables, jax.random.key(i)))
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    return {"metric": "lsun256_searched_ddim15_sampling", "value":
+            round(B / dt, 2), "unit": "imgs/sec/chip", "batch": B}
+
+
+def bench_sd():
+    from autodiffusion_tpu.models import SDUNetModel
+    from autodiffusion_tpu.samplers import cfg_eps_fn
+
+    unet = SDUNetModel(dtype=jnp.bfloat16)  # v1-inference defaults, bf16 like adt search-sd
+    z1 = jnp.zeros((1, 64, 64, 4))
+    shapes = jax.eval_shape(lambda: unet.init(
+        jax.random.key(0), z1, jnp.zeros((1,)), jnp.zeros((1, 77, 768))))
+    params = _zeros_like_shapes(shapes)
+    jax.block_until_ready(params)
+    B = 6
+    ctx = jnp.zeros((B, 77, 768))
+    uc = jnp.zeros((B, 77, 768))
+
+    def step(params, z, t, ctx, uc):
+        guided = cfg_eps_fn(lambda x2, t2, c2: unet.apply(params, x2, t2, c2),
+                            ctx, uc, 7.5)
+        return guided(z, t)
+
+    f = jax.jit(step)
+    z = jnp.zeros((B, 64, 64, 4))
+    t = jnp.full((B,), 500.0)
+    _sync(f(params, z, t, ctx, uc))
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        _sync(f(params, z, t, ctx, uc))
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    return {"metric": "sd_v1_cfg_denoise_step_batch6",
+            "value": round(dt * 1e3, 1), "unit": "ms/step"}
+
+
+BENCHES = {
+    "adm_fitness": lambda: bench_adm_fitness(2, 16),
+    "adm_fitness_search": lambda: bench_adm_fitness(4, 100, n_batches=1),
+    "lsun": bench_lsun256,
+    "sd": bench_sd,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(BENCHES)
+    results = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)
+    for name in names:
+        t0 = time.time()
+        r = BENCHES[name]()
+        r["total_bench_time_s"] = round(time.time() - t0, 1)
+        results[name] = r
+        print(json.dumps({name: r}), flush=True)
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=1)
+    print(f"wrote {OUT}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

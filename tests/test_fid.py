@@ -167,3 +167,33 @@ class TestFrechetEigh:
         t0 = time.time(); d2 = frechet_distance_eigh(a, b); t_eigh = time.time() - t0
         np.testing.assert_allclose(d2, d1, rtol=1e-5)
         assert t_eigh < t_sqrtm, (t_eigh, t_sqrtm)
+
+
+class TestDeviceFrechet:
+    def test_matches_host_f64_path(self):
+        """On-device f32 batched Frechet (one eigvalsh of
+        sqrt_ref @ sigma @ sqrt_ref) vs the host float64 eigh path."""
+        from autodiffusion_tpu.fid.stats import make_device_frechet
+        rng = np.random.RandomState(11)
+        D, N, C = 256, 4000, 3
+        ref_feats = rng.randn(N, D) * 1.5 + 3.0
+        ref = FIDStats.from_features(ref_feats)
+        fn = make_device_frechet(ref)
+
+        ns, s1s, s2s, want = [], [], [], []
+        for c in range(C):
+            feats = (rng.randn(N, D) * (1.0 + 0.2 * c) + 3.0 + 0.1 * c)
+            centered = feats - ref.mu
+            ns.append(float(N))
+            s1s.append(centered.sum(0))
+            s2s.append(centered.T @ centered)
+            from autodiffusion_tpu.fid.stats import frechet_distance_eigh
+            want.append(frechet_distance_eigh(FIDStats.from_features(feats),
+                                              ref))
+        stats = FeatureStats(n=jnp.asarray(ns),
+                             s1=jnp.asarray(np.stack(s1s), jnp.float32),
+                             s2=jnp.asarray(np.stack(s2s), jnp.float32))
+        got = fn(stats)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+        # ranking must be preserved
+        assert list(np.argsort(got)) == list(np.argsort(want))
