@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "flash_attention_bthd"]
+__all__ = ["flash_attention"]
 
 _NEG_INF = -1e30
 
@@ -337,133 +337,3 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :t].reshape(b, h, t, d), lse[..., 0]
-
-
-def _attn_kernel_bthd(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i, *,
-                      scale: float, s_valid: int, block_kv: int,
-                      num_heads: int):
-    """[B, T, H, D]-layout forward: heads are looped in-kernel over VMEM
-    slices instead of pre-transposed in HBM — the transposes to [B,H,T,D]
-    cost ~0.5 ms per attention block at ADM-64 scale (4 relayouts of the
-    qkv/output tensors through HBM). Grid (B, T_blocks, S_blocks)."""
-    j = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(j == 0)
-    def _():
-        acc[...] = jnp.zeros_like(acc)
-        m_i[...] = jnp.full_like(m_i, _NEG_INF)
-        l_i[...] = jnp.zeros_like(l_i)
-
-    q3 = q_ref[0]                                      # [bq, h, d]
-    k3 = k_ref[0]                                      # [bk, h, d]
-    v3 = v_ref[0]
-    bq = q3.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1)
-    in_range = col + j * block_kv < s_valid
-
-    for hh in range(num_heads):
-        q = q3[:, hh, :].astype(jnp.float32) * scale
-        k = k3[:, hh, :].astype(jnp.float32)
-        v = v3[:, hh, :].astype(jnp.float32)
-        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-        logits = jnp.where(in_range, logits, _NEG_INF)
-        m_prev, l_prev = m_i[hh], l_i[hh]
-        m_new = jnp.maximum(m_prev, logits.max(axis=1, keepdims=True))
-        p = jnp.exp(logits - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        m_i[hh] = m_new
-        l_i[hh] = l_prev * alpha + p.sum(axis=1, keepdims=True)
-        acc[hh] = acc[hh] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-
-    @pl.when(j == nk - 1)
-    def _():
-        for hh in range(num_heads):
-            l_safe = jnp.maximum(l_i[hh], 1e-30)
-            o_ref[0, :, hh, :] = (acc[hh] / l_safe).astype(o_ref.dtype)
-            lse_ref[0, :, hh] = (m_i[hh] + jnp.log(l_safe))[:, 0]
-
-
-def _flash_forward_bthd(q, k, v, block_q, block_kv, interpret):
-    b, t, h, d = q.shape
-    s = k.shape[1]
-    assert d <= 128, f"head dim {d} > 128: split heads further"
-    block_kv = min(block_kv, max(128, s))
-    budget = (1 << 21) if q.dtype == jnp.bfloat16 else (1 << 19)
-    block_q = min(block_q, max(128, t),
-                  max(128, budget // (block_kv * max(1, h // 2))))
-    scale = 1.0 / np.sqrt(d)
-
-    qp = _pad_to(q, 1, block_q)
-    kp = _pad_to(k, 1, block_kv)
-    vp = _pad_to(v, 1, block_kv)
-    t_pad, s_pad = qp.shape[1], kp.shape[1]
-
-    out, lse = pl.pallas_call(
-        functools.partial(_attn_kernel_bthd, scale=scale, s_valid=s,
-                          block_kv=block_kv, num_heads=h),
-        grid=(b, t_pad // block_q, s_pad // block_kv),
-        in_specs=[
-            pl.BlockSpec((1, block_q, h, d), lambda i, tq, j: (i, tq, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, h, d), lambda i, tq, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, h, d), lambda i, tq, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, h, d), lambda i, tq, j: (i, tq, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, h), lambda i, tq, j: (i, tq, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct(qp.shape, v.dtype),
-                   jax.ShapeDtypeStruct((b, t_pad, h), jnp.float32)],
-        scratch_shapes=[
-            pltpu.VMEM((h, block_q, d), jnp.float32),
-            pltpu.VMEM((h, block_q, 1), jnp.float32),
-            pltpu.VMEM((h, block_q, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qp, kp, vp)
-    return out[:, :t], lse[:, :t]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_bthd(q, k, v, block_q, block_kv, interpret):
-    return _flash_forward_bthd(q, k, v, block_q, block_kv, interpret)[0]
-
-
-def _flash_bthd_fwd(q, k, v, block_q, block_kv, interpret):
-    out, _ = _flash_forward_bthd(q, k, v, block_q, block_kv, interpret)
-    return out, (q, k, v, out)
-
-
-def _flash_bthd_bwd(block_q, block_kv, interpret, res, g):
-    # backward rides the tuned [B,H,T,D] kernels via on-the-fly transposes
-    # (the backward runs only under guidance VJP; the forward-path HBM
-    # transposes are what the bthd layout removes)
-    q, k, v, o = res
-
-    def bhtd(x):
-        return x.transpose(0, 2, 1, 3)
-
-    _, vjp = jax.vjp(
-        lambda qq, kk, vv: _flash(bhtd(qq), bhtd(kk), bhtd(vv),
-                                  block_q, block_kv, interpret)
-        .transpose(0, 2, 1, 3), q, k, v)
-    return vjp(g)
-
-
-_flash_bthd.defvjp(_flash_bthd_fwd, _flash_bthd_bwd)
-
-
-@functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
-def flash_attention_bthd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                         *, block_q: int = 1024, block_kv: int = 2048,
-                         interpret: bool = False) -> jnp.ndarray:
-    """softmax(q k^T / sqrt(D)) v for q [B,T,H,D], k/v [B,S,H,D] — the
-    attention layers' natural layout (no HBM head transposes)."""
-    return _flash_bthd(q, k, v, block_q, block_kv, interpret)

@@ -109,45 +109,3 @@ class TestFlashAttention:
             np.testing.assert_allclose(np.asarray(got, np.float32),
                                        np.asarray(want, np.float32),
                                        atol=6e-2, rtol=6e-2)
-
-
-class TestFlashAttentionBTHD:
-    """[B,T,H,D]-layout kernel: same math, no HBM head transposes."""
-
-    @pytest.mark.parametrize("t,s,h,d", [(128, 128, 2, 64), (100, 100, 3, 32),
-                                         (64, 300, 2, 64)])
-    def test_matches_einsum(self, t, s, h, d):
-        from autodiffusion_tpu.ops import flash_attention_bthd
-        rng = np.random.RandomState(0)
-        q = jnp.asarray(rng.randn(2, t, h, d).astype(np.float32))
-        k = jnp.asarray(rng.randn(2, s, h, d).astype(np.float32))
-        v = jnp.asarray(rng.randn(2, s, h, d).astype(np.float32))
-        want = reference_attention(q.transpose(0, 2, 1, 3),
-                                   k.transpose(0, 2, 1, 3),
-                                   v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
-        got = flash_attention_bthd(q, k, v, block_q=64, block_kv=64,
-                                   interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-5, rtol=2e-5)
-
-    def test_grads_match_einsum(self):
-        from autodiffusion_tpu.ops import flash_attention_bthd
-        rng = np.random.RandomState(1)
-        q = jnp.asarray(rng.randn(1, 100, 2, 32).astype(np.float32))
-        k = jnp.asarray(rng.randn(1, 100, 2, 32).astype(np.float32))
-        v = jnp.asarray(rng.randn(1, 100, 2, 32).astype(np.float32))
-        g = jnp.asarray(rng.randn(1, 100, 2, 32).astype(np.float32))
-
-        def ref(q, k, v):
-            return reference_attention(q.transpose(0, 2, 1, 3),
-                                       k.transpose(0, 2, 1, 3),
-                                       v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
-
-        def fl(q, k, v):
-            return flash_attention_bthd(q, k, v, block_q=64, block_kv=64,
-                                        interpret=True)
-
-        for got, want in zip(jax.vjp(fl, q, k, v)[1](g),
-                             jax.vjp(ref, q, k, v)[1](g)):
-            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                       atol=3e-5, rtol=3e-5)
