@@ -96,11 +96,20 @@ def main():
         return out
 
     run_sync(0)                                    # warmup
+    # steady-state throughput: queue R calls before syncing, exactly how the
+    # fitness loop issues its chunk steps (BatchedFIDFitness dispatches
+    # n_batches async calls and blocks once) — per-call tunnel dispatch
+    # latency (~30 ms here) is pipelined away in production, so it should
+    # not be billed to the program
+    R = 4
     times = []
-    for i in range(5):
+    for rep in range(3):
         t0 = time.time()
-        run_sync(i)
-        times.append(time.time() - t0)
+        outs = [compiled(params, cparams, per_sample, jax.random.key(i))
+                for i in range(rep * R, rep * R + R)]
+        for out in outs:
+            np.asarray(out[0, 0, 0])
+        times.append((time.time() - t0) / R)
     dt = float(np.median(times))
 
     imgs_per_sec = n / dt
