@@ -42,19 +42,80 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 100
     return emb.astype(dtype)
 
 
+class _GNParams(nn.Module):
+    """Parameter holder with flax nn.GroupNorm's exact tree (scale, bias) —
+    named ``GroupNorm_0`` by its parent so published-checkpoint converters
+    (models/convert.py:57, models/sd_convert.py:43) keep working."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones_init(),
+                           (self.features,), jnp.float32),
+                self.param("bias", nn.initializers.zeros_init(),
+                           (self.features,), jnp.float32))
+
+
 class GroupNorm32(nn.Module):
-    """32-group GroupNorm computed in float32 regardless of input dtype."""
+    """32-group GroupNorm in float32, with inline FiLM + activation.
+
+    ``__call__(x, scale=, shift=, act=)`` computes
+    ``act(GN(x) * (1 + scale) + shift)`` — the ResBlock scale-shift-norm
+    pattern (guided_diffusion/unet.py:216-252) — in one place so the whole
+    sequence compiles as one fusion cluster. The default implementation is a
+    hand-rolled reshape-to-groups composition (flax nn.GroupNorm's exact
+    fast-variance math and op order, f32 stats, then FiLM/SiLU in the
+    compute dtype): measured on v5e it fuses better than the stock
+    nn.GroupNorm lowering (+4.5% end-to-end guided-sampling throughput) and
+    also beats the project's own Pallas slab kernel (ops/fused_norm.py,
+    opt-in via ADT_FUSED_NORM=1 — see BENCH_NOTES.md postmortem).
+    scale/shift are [B, C]; act is "silu" or None.
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    use_fused: Any = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, scale: Optional[jnp.ndarray] = None,
+                 shift: Optional[jnp.ndarray] = None,
+                 act: Optional[str] = None) -> jnp.ndarray:
+        from ..ops.fused_norm import fused_group_norm, fused_norm_available
+
+        c = x.shape[-1]
+        groups = min(self.num_groups, c)
+        gamma, beta = _GNParams(c, name="GroupNorm_0")()
+
+        fused = (fused_norm_available(x.shape, groups)
+                 if self.use_fused == "auto" else bool(self.use_fused))
+        if fused:
+            return fused_group_norm(
+                x, gamma, beta,
+                scale=None if scale is None else scale.reshape(x.shape[0], c),
+                shift=None if shift is None else shift.reshape(x.shape[0], c),
+                num_groups=groups, eps=self.epsilon,
+                act="silu" if act == "silu" else "none")
+
+        # Unfused: flax nn.GroupNorm's exact op order and fast-variance
+        # stats (f32), then FiLM/act in the compute dtype as before.
         orig_dtype = x.dtype
-        h = nn.GroupNorm(num_groups=min(self.num_groups, x.shape[-1]),
-                         epsilon=self.epsilon, dtype=jnp.float32,
-                         param_dtype=jnp.float32)(x.astype(jnp.float32))
-        return h.astype(orig_dtype)
+        b = x.shape[0]
+        xg = x.astype(jnp.float32).reshape(b, -1, groups, c // groups)
+        mu = jnp.mean(xg, axis=(1, 3), keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xg * xg, axis=(1, 3), keepdims=True) - mu * mu, 0.0)
+        mul = jax.lax.rsqrt(var + self.epsilon) * gamma.reshape(1, 1, groups, -1)
+        h = ((xg - mu) * mul + beta.reshape(1, 1, groups, -1))
+        h = h.reshape(x.shape).astype(orig_dtype)
+        bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        if scale is not None:
+            h = h * (1 + scale.reshape(bshape))
+        if shift is not None:
+            h = h + shift.reshape(bshape)
+        if act == "silu":
+            h = nn.silu(h)
+        return h
 
 
 class Upsample(nn.Module):

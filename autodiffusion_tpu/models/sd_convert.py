@@ -157,7 +157,8 @@ def convert_sd_unet(sd: Mapping[str, np.ndarray], model: SDUNetModel,
 
 
 def _vae_gn(sd, p):
-    return {"gn": {"scale": _np(sd, p + ".weight"), "bias": _np(sd, p + ".bias")}}
+    return {"gn": {"GroupNorm_0": {"scale": _np(sd, p + ".weight"),
+                                   "bias": _np(sd, p + ".bias")}}}
 
 
 def _vae_res(sd, p, has_skip):

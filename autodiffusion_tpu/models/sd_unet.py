@@ -96,7 +96,7 @@ class SDUNetModel(nn.Module):
                     ds //= 2
 
         assert not hs
-        h = nn.silu(GroupNorm32(name="out_norm")(h))
+        h = GroupNorm32(name="out_norm")(h, act="silu")
         return nn.Conv(self.out_channels, (3, 3), padding=1,
                        kernel_init=zero_init, dtype=jnp.float32,
                        param_dtype=jnp.float32, name="out_conv")(

@@ -75,8 +75,7 @@ class ResBlock(nn.Module):
         c_in = x.shape[-1]
         c_out = self.out_channels or c_in
 
-        h = GroupNorm32(name="in_norm")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(name="in_norm")(x, act="silu")
         if self.up:
             h = Upsample(use_conv=False, dtype=self.dtype, name="h_upd")(h)
             x = Upsample(use_conv=False, dtype=self.dtype, name="x_upd")(x)
@@ -88,12 +87,12 @@ class ResBlock(nn.Module):
         emb_out = nn.Dense(2 * c_out if self.use_scale_shift_norm else c_out,
                            dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
-            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            scale, shift = jnp.split(emb_out, 2, axis=-1)        # [B, c_out]
+            h = GroupNorm32(name="out_norm")(h, scale=scale, shift=shift,
+                                             act="silu")
         else:
             h = h + emb_out[:, None, None, :]
-            h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+            h = GroupNorm32(name="out_norm")(h, act="silu")
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(c_out, (3, 3), padding=1, kernel_init=zero_init,
                     dtype=self.dtype, name="out_conv")(h)
@@ -366,7 +365,7 @@ class UNetModel(nn.Module):
 
         assert not hs
         assert layer_id == self.layer_num, (layer_id, self.layer_num)
-        h = nn.silu(GroupNorm32(name="out_norm")(h))
+        h = GroupNorm32(name="out_norm")(h, act="silu")
         h = nn.Conv(self.out_channels, (3, 3), padding=1, kernel_init=zero_init,
                     dtype=jnp.float32, param_dtype=jnp.float32, name="out_conv")(
             h.astype(jnp.float32))
@@ -460,13 +459,13 @@ class EncoderUNetModel(nn.Module):
                                                         deterministic=deterministic)
 
         if self.pool == "adaptive":
-            h = nn.silu(GroupNorm32(name="out_norm")(h))
+            h = GroupNorm32(name="out_norm")(h, act="silu")
             h = h.mean(axis=(1, 2), keepdims=True)
             h = nn.Conv(self.out_channels, (1, 1), kernel_init=zero_init,
                         dtype=jnp.float32, name="out_conv")(h.astype(jnp.float32))
             return h.reshape(h.shape[0], -1)
         if self.pool == "attention":
-            h = nn.silu(GroupNorm32(name="out_norm")(h))
+            h = GroupNorm32(name="out_norm")(h, act="silu")
             heads = (ch // self.num_head_channels
                      if self.num_head_channels != -1 else self.num_heads)
             return AttentionPool2d(num_heads=heads, output_dim=self.out_channels,
@@ -476,7 +475,8 @@ class EncoderUNetModel(nn.Module):
             h = jnp.concatenate(results, axis=-1).astype(jnp.float32)
             h = nn.Dense(2048, name="out_fc0")(h)
             if self.pool == "spatial_v2":
-                h = nn.silu(GroupNorm32(num_groups=32, name="out_norm")(h[:, None, None, :]))[:, 0, 0]
+                h = GroupNorm32(num_groups=32, name="out_norm")(
+                    h[:, None, None, :], act="silu")[:, 0, 0]
             else:
                 h = nn.relu(h)
             return nn.Dense(self.out_channels, name="out_fc1")(h)

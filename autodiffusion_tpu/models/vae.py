@@ -23,13 +23,14 @@ SD_SCALE_FACTOR = 0.18215
 
 
 class VAEGroupNorm(nn.Module):
+    """CompVis Normalize (eps 1e-6), fused with SiLU on TPU when ``act`` is
+    given (ops/fused_norm.py; the 512px decoder level-0 slab exceeds the
+    kernel's VMEM cap and falls back automatically)."""
+
     @nn.compact
-    def __call__(self, x):
-        dt = x.dtype
-        groups = min(32, x.shape[-1])   # CompVis always has >=32 channels
-        return nn.GroupNorm(num_groups=groups, epsilon=1e-6, dtype=jnp.float32,
-                            param_dtype=jnp.float32, name="gn")(
-            x.astype(jnp.float32)).astype(dt)
+    def __call__(self, x, *, act=None):
+        from .nn import GroupNorm32
+        return GroupNorm32(epsilon=1e-6, name="gn")(x, act=act)
 
 
 class VAEResnetBlock(nn.Module):
@@ -39,9 +40,9 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         c_out = self.out_channels or x.shape[-1]
-        h = nn.silu(VAEGroupNorm(name="norm1")(x))
+        h = VAEGroupNorm(name="norm1")(x, act="silu")
         h = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = nn.silu(VAEGroupNorm(name="norm2")(h))
+        h = VAEGroupNorm(name="norm2")(h, act="silu")
         h = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if c_out != x.shape[-1]:
             x = nn.Conv(c_out, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
@@ -116,7 +117,7 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(dtype=self.dtype, name="mid_block_1")(h)
         h = VAEAttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
         h = VAEResnetBlock(dtype=self.dtype, name="mid_block_2")(h)
-        h = nn.silu(VAEGroupNorm(name="norm_out")(h))
+        h = VAEGroupNorm(name="norm_out")(h, act="silu")
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         return nn.Conv(out_ch, (3, 3), padding=1, dtype=jnp.float32,
                        param_dtype=jnp.float32, name="conv_out")(
@@ -150,7 +151,7 @@ class Decoder(nn.Module):
             if level != 0:
                 h = VAEUpsample(dtype=self.dtype, name=f"up_{level}_us")(h)
                 ds //= 2
-        h = nn.silu(VAEGroupNorm(name="norm_out")(h))
+        h = VAEGroupNorm(name="norm_out")(h, act="silu")
         return nn.Conv(self.out_ch, (3, 3), padding=1, dtype=jnp.float32,
                        param_dtype=jnp.float32, name="conv_out")(
             h.astype(jnp.float32))
