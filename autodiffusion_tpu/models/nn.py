@@ -95,10 +95,16 @@ class GroupNorm32(nn.Module):
                 scale=None if scale is None else scale.reshape(x.shape[0], c),
                 shift=None if shift is None else shift.reshape(x.shape[0], c),
                 num_groups=groups, eps=self.epsilon,
-                act="silu" if act == "silu" else "none")
+                act="silu" if act == "silu" else "none",
+                interpret=jax.default_backend() != "tpu")
 
-        # Unfused: flax nn.GroupNorm's exact op order and fast-variance
-        # stats (f32), then FiLM/act in the compute dtype as before.
+        # Default: hand-rolled flax-GroupNorm math (f32 stats, exact flax op
+        # order), then FiLM/act in the compute dtype, all left to XLA's own
+        # fusion and autodiff. A residual-slim custom-VJP variant (backward
+        # recomputing xhat/z/u from x) was built and measured SLOWER
+        # end-to-end (85.6 vs 88.0 imgs/s): XLA's autodiff of this
+        # composition already beats hand-slimmed residuals, and the
+        # custom_vjp boundary costs fusion — see BENCH_NOTES.md.
         orig_dtype = x.dtype
         b = x.shape[0]
         xg = x.astype(jnp.float32).reshape(b, -1, groups, c // groups)

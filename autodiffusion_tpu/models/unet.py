@@ -68,6 +68,9 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     use_conv_skip: bool = False   # 3x3 conv skip instead of 1x1 (use_conv in ref)
+    # "auto" defers to the env-gated Pallas fused-norm kernel (off by
+    # default); the classifier opts in for its bandwidth-bound VJP
+    fused_norm: Any = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -75,7 +78,7 @@ class ResBlock(nn.Module):
         c_in = x.shape[-1]
         c_out = self.out_channels or c_in
 
-        h = GroupNorm32(name="in_norm")(x, act="silu")
+        h = GroupNorm32(use_fused=self.fused_norm, name="in_norm")(x, act="silu")
         if self.up:
             h = Upsample(use_conv=False, dtype=self.dtype, name="h_upd")(h)
             x = Upsample(use_conv=False, dtype=self.dtype, name="x_upd")(x)
@@ -88,11 +91,12 @@ class ResBlock(nn.Module):
                            dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)        # [B, c_out]
-            h = GroupNorm32(name="out_norm")(h, scale=scale, shift=shift,
-                                             act="silu")
+            h = GroupNorm32(use_fused=self.fused_norm, name="out_norm")(
+                h, scale=scale, shift=shift, act="silu")
         else:
             h = h + emb_out[:, None, None, :]
-            h = GroupNorm32(name="out_norm")(h, act="silu")
+            h = GroupNorm32(use_fused=self.fused_norm, name="out_norm")(
+                h, act="silu")
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(c_out, (3, 3), padding=1, kernel_init=zero_init,
                     dtype=self.dtype, name="out_conv")(h)
@@ -125,6 +129,7 @@ class AttentionBlock(nn.Module):
     # "auto": Pallas flash kernel on TPU for long token sequences (see
     # models/attention.py and BENCH_NOTES.md); False forces einsum
     use_flash: Any = "auto"
+    fused_norm: Any = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -138,14 +143,16 @@ class AttentionBlock(nn.Module):
         hd = c // heads
         tokens = hgt * wid
         if self.use_flash == "auto":
+            import os
+            min_tokens = int(os.environ.get("ADT_FLASH_MIN_TOKENS", "1024"))
             flash = (jax.default_backend() == "tpu" and hd <= 128
-                     and tokens >= 1024)
+                     and tokens >= min_tokens)
         else:
             flash = bool(self.use_flash) and hd <= 128
 
         xf = x.reshape(b, hgt * wid, c)
         qkv = nn.DenseGeneral(3 * c, dtype=self.dtype, name="qkv")(
-            GroupNorm32(name="norm")(xf))
+            GroupNorm32(use_fused=self.fused_norm, name="norm")(xf))
         if self.new_order:
             q, k, v = jnp.split(qkv, 3, axis=-1)                       # [b,t,c] each
             q = q.reshape(b, -1, heads, hd)
@@ -404,6 +411,10 @@ class EncoderUNetModel(nn.Module):
     use_new_attention_order: bool = True
     pool: str = "attention"
     conv_resample: bool = True
+    # fused Pallas GroupNorm(+FiLM+SiLU) with its one-pass custom VJP — the
+    # classifier's fwd+VJP under guidance is HBM-bandwidth-bound, where the
+    # kernel's smaller residual footprint pays (see BENCH_NOTES.md)
+    fused_norm: Any = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -422,11 +433,12 @@ class EncoderUNetModel(nn.Module):
             for i in range(self.num_res_blocks):
                 ch = int(mult * self.model_channels)
                 h = ResBlock(out_channels=ch, dropout=self.dropout,
+                     fused_norm=self.fused_norm,
                              use_scale_shift_norm=self.use_scale_shift_norm,
                              dtype=self.dtype, name=f"down_{level}_{i}_res")(
                     h, emb, deterministic=deterministic)
                 if ds in self.attention_ds:
-                    h = AttentionBlock(num_heads=self.num_heads,
+                    h = AttentionBlock(num_heads=self.num_heads, fused_norm=self.fused_norm,
                                        num_head_channels=self.num_head_channels,
                                        new_order=self.use_new_attention_order,
                                        dtype=self.dtype,
@@ -434,6 +446,7 @@ class EncoderUNetModel(nn.Module):
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
                     h = ResBlock(out_channels=ch, dropout=self.dropout,
+                     fused_norm=self.fused_norm,
                                  use_scale_shift_norm=self.use_scale_shift_norm,
                                  down=True, dtype=self.dtype,
                                  name=f"down_{level}_ds")(h, emb,
@@ -446,26 +459,28 @@ class EncoderUNetModel(nn.Module):
                 results.append(h.mean(axis=(1, 2)))
 
         h = ResBlock(out_channels=ch, dropout=self.dropout,
+                     fused_norm=self.fused_norm,
                      use_scale_shift_norm=self.use_scale_shift_norm,
                      dtype=self.dtype, name="mid_res0")(h, emb,
                                                         deterministic=deterministic)
-        h = AttentionBlock(num_heads=self.num_heads,
+        h = AttentionBlock(num_heads=self.num_heads, fused_norm=self.fused_norm,
                            num_head_channels=self.num_head_channels,
                            new_order=self.use_new_attention_order,
                            dtype=self.dtype, name="mid_attn")(h)
         h = ResBlock(out_channels=ch, dropout=self.dropout,
+                     fused_norm=self.fused_norm,
                      use_scale_shift_norm=self.use_scale_shift_norm,
                      dtype=self.dtype, name="mid_res1")(h, emb,
                                                         deterministic=deterministic)
 
         if self.pool == "adaptive":
-            h = GroupNorm32(name="out_norm")(h, act="silu")
+            h = GroupNorm32(use_fused=self.fused_norm, name="out_norm")(h, act="silu")
             h = h.mean(axis=(1, 2), keepdims=True)
             h = nn.Conv(self.out_channels, (1, 1), kernel_init=zero_init,
                         dtype=jnp.float32, name="out_conv")(h.astype(jnp.float32))
             return h.reshape(h.shape[0], -1)
         if self.pool == "attention":
-            h = GroupNorm32(name="out_norm")(h, act="silu")
+            h = GroupNorm32(use_fused=self.fused_norm, name="out_norm")(h, act="silu")
             heads = (ch // self.num_head_channels
                      if self.num_head_channels != -1 else self.num_heads)
             return AttentionPool2d(num_heads=heads, output_dim=self.out_channels,

@@ -146,11 +146,11 @@ def _predict_eps_from_xstart(tables, x, i, x0):
             / _at(tables.sqrt_recipm1_alphas_cumprod, i, nd))
 
 
-def _loop(body, tables: ScheduleTables, shape, rng, noise):
+def _loop(body, tables: ScheduleTables, shape, rng, noise, unroll=1):
     K = tables.num_steps
     x_T = jax.random.normal(rng, shape) if noise is None else noise
     idxs = jnp.arange(K - 1, -1, -1)
-    final, _ = jax.lax.scan(body, x_T, idxs)
+    final, _ = jax.lax.scan(body, x_T, idxs, unroll=unroll)
     return final
 
 
@@ -160,7 +160,8 @@ def p_sample_loop(model_fn, shape, tables: ScheduleTables, *, rng,
                   clip_denoised: bool = True,
                   denoised_fn: Optional[Callable] = None,
                   cond_fn: Optional[Callable] = None,
-                  noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  noise: Optional[jnp.ndarray] = None,
+                  unroll: int = 1) -> jnp.ndarray:
     """Ancestral sampling (gaussian_diffusion.py:395-534). Returns x_0."""
     rng, init_rng = jax.random.split(rng)
 
@@ -179,7 +180,7 @@ def p_sample_loop(model_fn, shape, tables: ScheduleTables, *, rng,
         sample = mean + nonzero * jnp.exp(0.5 * log_variance) * z
         return sample, ()
 
-    return _loop(body, tables, shape, init_rng, noise)
+    return _loop(body, tables, shape, init_rng, noise, unroll)
 
 
 def ddim_sample_loop(model_fn, shape, tables: ScheduleTables, *, rng,
@@ -189,7 +190,8 @@ def ddim_sample_loop(model_fn, shape, tables: ScheduleTables, *, rng,
                      clip_denoised: bool = True,
                      denoised_fn: Optional[Callable] = None,
                      cond_fn: Optional[Callable] = None,
-                     noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     noise: Optional[jnp.ndarray] = None,
+                     unroll: int = 1) -> jnp.ndarray:
     """DDIM sampling, eq. 12 of Song et al.
     (gaussian_diffusion.py:536-716). Returns x_0."""
     rng, init_rng = jax.random.split(rng)
@@ -222,7 +224,7 @@ def ddim_sample_loop(model_fn, shape, tables: ScheduleTables, *, rng,
         sample = mean_pred + nonzero * sigma * z
         return sample, ()
 
-    return _loop(body, tables, shape, init_rng, noise)
+    return _loop(body, tables, shape, init_rng, noise, unroll)
 
 
 def _bcast_t(t, batch: int) -> jnp.ndarray:

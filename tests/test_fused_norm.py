@@ -133,3 +133,20 @@ def test_availability_gate(monkeypatch):
         assert not fused_norm_available((1, 512, 512, 128))  # VMEM cap
     else:
         assert not fused_norm_available((2, 64, 64, 192))
+
+
+def test_resblock_fused_norm_matches_default():
+    """ResBlock(fused_norm=True) (Pallas kernel, interpret off-TPU) agrees
+    with the default XLA composition — the classifier's opt-in path."""
+    from autodiffusion_tpu.models.unet import ResBlock
+    x = jax.random.normal(jax.random.key(7), (2, 8, 8, 64))
+    emb = jax.random.normal(jax.random.key(8), (2, 32))
+    blk = ResBlock(out_channels=64)
+    blk_fused = ResBlock(out_channels=64, fused_norm=True)
+    p = blk.init(jax.random.key(9), x, emb)
+    want = blk.apply(p, x, emb)
+    got = blk_fused.apply(p, x, emb)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    gw = jax.grad(lambda x: jnp.sum(jnp.sin(blk.apply(p, x, emb))))(x)
+    gg = jax.grad(lambda x: jnp.sum(jnp.sin(blk_fused.apply(p, x, emb))))(x)
+    np.testing.assert_allclose(gg, gw, rtol=5e-4, atol=5e-4)
