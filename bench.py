@@ -77,7 +77,29 @@ def main():
                               rng=rng, cond_fn=cond)
         return to_uint8(x0)
 
-    f = jax.jit(sample)
+    # FLOP accounting: XLA's cost analysis reports NO flops for custom
+    # calls, so the Pallas flash-attention fwd (UNet) and fwd+bwd
+    # (classifier VJP) would be billed at zero — undercounting MFU.
+    # Compile the identical math with flash disabled (pure einsum
+    # attention, fully visible to XLA) purely to COUNT flops; the timed
+    # program below uses the flash kernels. Verified on-chip: the flash
+    # program alone reports -2.0 flops where einsum reports 53.4 GFLOP
+    # at [32,6,1024,64].
+    # NB: wrap each variant in a distinct lambda — jit caches are keyed
+    # on the wrapped callable, so two jax.jit(sample) calls would share
+    # one trace and the env-var gate below would never re-apply.
+    import os
+    prev_gate = os.environ.get("ADT_FLASH_MIN_TOKENS")
+    os.environ["ADT_FLASH_MIN_TOKENS"] = str(1 << 30)
+    t0 = time.time()
+    counted = jax.jit(lambda *a: sample(*a)).lower(
+        params, cparams, per_sample, jax.random.key(0)).compile()
+    if prev_gate is None:
+        del os.environ["ADT_FLASH_MIN_TOKENS"]
+    else:
+        os.environ["ADT_FLASH_MIN_TOKENS"] = prev_gate
+    t_count = time.time() - t0
+    f = jax.jit(lambda *a: sample(*a))
     t0 = time.time()
     lowered = f.lower(params, cparams, per_sample, jax.random.key(0))
     t_lower = time.time() - t0
@@ -86,7 +108,7 @@ def main():
     t_compile = time.time() - t0
     # XLA cost analysis counts a While (scan) body once; the K-step DDIM
     # scan therefore under-reports by ~K. Scale to per-call totals.
-    flops = compiled.cost_analysis().get("flops", 0.0) * K
+    flops = counted.cost_analysis().get("flops", 0.0) * K
 
     # NB: on the axon relay block_until_ready can return before execution
     # finishes; a host readback of a slice is the reliable sync
@@ -123,6 +145,7 @@ def main():
     # diagnostics on stderr-like secondary line (driver reads the json line)
     import sys
     print(f"# lower={t_lower:.0f}s compile={t_compile:.0f}s "
+          f"count_compile={t_count:.0f}s "
           f"model_tflops={tflops:.1f} total={time.time()-t_start:.0f}s",
           file=sys.stderr)
 
