@@ -27,6 +27,33 @@ from ..utils import logger
 from ..utils.config import add_dict_to_argparser
 
 
+def _params_from(path, model, init_args, convert_fn):
+    """Model params from either an own-format ``.msgpack`` file (the
+    output of ``adt convert`` / ``adt train``) or a torch ``.pt``/
+    ``.ckpt`` checkpoint converted in memory — every model-loading
+    subcommand accepts both (reference loads torch only,
+    dist_util.load_state_dict)."""
+    if path.endswith(".msgpack"):
+        import jax
+        from ..utils.checkpoint import load_tree
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.key(0), *init_args))
+        template = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes)
+        return load_tree(path, template)
+    from ..models.convert import load_torch_state_dict
+    return convert_fn(load_torch_state_dict(path), model)
+
+
+def _adm_init_args(cfg):
+    import jax.numpy as jnp
+    a = [jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+         jnp.zeros((1,))]
+    if cfg.class_cond:
+        a.append(jnp.zeros((1,), jnp.int32))
+    return a
+
+
 def _search_defaults():
     # search_imagenet64_classifier_guidance.py:600-618 + model flags
     return dict(
@@ -69,14 +96,15 @@ def cmd_search(args) -> int:
         use_new_attention_order=args.use_new_attention_order,
         use_bf16=args.use_bf16, dropout=args.dropout)
     model = create_model(cfg)
-    params = convert_unet(load_torch_state_dict(args.model_path), model)
+    params = _params_from(args.model_path, model, _adm_init_args(cfg),
+                          convert_unet)
 
     classifier = cparams = None
     if args.classifier_path:
         ccfg = ClassifierConfig.adm64(image_size=args.image_size)
         classifier = create_classifier(ccfg)
-        cparams = convert_classifier(
-            load_torch_state_dict(args.classifier_path), classifier)
+        cparams = _params_from(args.classifier_path, classifier,
+                               _adm_init_args(cfg)[:2], convert_classifier)
 
     feature_fn = make_inception_feature_fn(
         load_fid_inception_params(args.inception_path))
@@ -150,7 +178,8 @@ def cmd_sample(args) -> int:
         use_new_attention_order=args.use_new_attention_order,
         use_bf16=args.use_bf16)
     model = create_model(cfg)
-    params = convert_unet(load_torch_state_dict(args.model_path), model)
+    params = _params_from(args.model_path, model, _adm_init_args(cfg),
+                          convert_unet)
     use_ts = parse_timestep_string(args.use_timestep) if args.use_timestep else None
     tables = create_tables(cfg, use_ts)
 
@@ -164,8 +193,8 @@ def cmd_sample(args) -> int:
     if args.classifier_path:
         ccfg = ClassifierConfig.adm64(image_size=args.image_size)
         classifier = create_classifier(ccfg)
-        cparams = convert_classifier(
-            load_torch_state_dict(args.classifier_path), classifier)
+        cparams = _params_from(args.classifier_path, classifier,
+                               _adm_init_args(cfg)[:2], convert_classifier)
 
     # shard the batch axis over the device mesh, like the search fitness
     # path (data_sharder) — each chip denoises its slice of the batch
@@ -250,7 +279,14 @@ def cmd_sr_sample(args) -> int:
     init_args = [x1, jnp.zeros((1,)), low[:1]]
     if cfg.class_cond:
         init_args.append(jnp.zeros((1,), jnp.int32))
-    if args.model_path:
+    if args.model_path and not args.model_path.endswith(".msgpack"):
+        # torch super_res checkpoint: the SuperResModel is a concat
+        # wrapper around a plain UNet (unet.py:668-682), so the state
+        # dict converts with convert_unet onto the nested 'unet' module
+        from ..models.convert import convert_unet, load_torch_state_dict
+        inner = convert_unet(load_torch_state_dict(args.model_path), sr.unet)
+        params = {"params": {"unet": inner["params"]}}
+    elif args.model_path:
         from ..utils.checkpoint import load_tree
         shapes = jax.eval_shape(lambda: sr.init(jax.random.key(0), *init_args))
         template = jax.tree_util.tree_map(
@@ -558,7 +594,8 @@ def cmd_nll(args) -> int:
                       noise_schedule=args.noise_schedule,
                       class_cond=args.class_cond)
     model = create_model(cfg)
-    params = convert_unet(load_torch_state_dict(args.model_path), model)
+    params = _params_from(args.model_path, model, _adm_init_args(cfg),
+                          convert_unet)
     tables = create_tables(cfg)
     data = load_data(data_dir=args.data_dir, batch_size=args.batch_size,
                      image_size=cfg.image_size, class_cond=cfg.class_cond,

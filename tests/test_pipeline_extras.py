@@ -283,3 +283,52 @@ class TestSampleCLIEndToEnd:
         assert arr.shape == (16, 16, 16, 3) and arr.dtype == np.uint8
         # non-degenerate output
         assert len(np.unique(arr)) > 10
+
+    def test_sample_accepts_msgpack_checkpoint(self, reference_gd, tmp_path):
+        """adt sample loads an own-format msgpack (adt convert / adt train
+        output) anywhere a torch .pt is accepted, producing identical
+        samples from either format."""
+        import torch
+        from guided_diffusion.unet import UNetModel as TorchUNet
+
+        from autodiffusion_tpu.cli.main import main
+        from autodiffusion_tpu.models import ModelConfig, create_model
+        from autodiffusion_tpu.models.convert import (convert_unet,
+                                                      load_torch_state_dict)
+        from autodiffusion_tpu.utils.checkpoint import save_tree
+
+        torch.manual_seed(1)
+        tm = TorchUNet(image_size=16, in_channels=3, model_channels=32,
+                       out_channels=6, num_res_blocks=1,
+                       attention_resolutions=(2,), dropout=0.0,
+                       channel_mult=(1, 2), num_classes=None,
+                       use_checkpoint=False, use_fp16=False, num_heads=1,
+                       num_head_channels=32, num_heads_upsample=-1,
+                       use_scale_shift_norm=True, resblock_updown=True,
+                       use_new_attention_order=True)
+        ckpt = str(tmp_path / "tiny.pt")
+        torch.save(tm.state_dict(), ckpt)
+
+        cfg = ModelConfig(image_size=16, num_channels=32, num_res_blocks=1,
+                          num_head_channels=32, attention_resolutions="8",
+                          channel_mult="1,2", class_cond=False,
+                          learn_sigma=True, use_bf16=False,
+                          use_scale_shift_norm=True, resblock_updown=True,
+                          use_new_attention_order=True)
+        params = convert_unet(load_torch_state_dict(ckpt), create_model(cfg))
+        mpk = str(tmp_path / "tiny.msgpack")
+        save_tree(mpk, params)
+
+        flags = ["--image_size", "16", "--num_channels", "32",
+                 "--num_res_blocks", "1", "--num_head_channels", "32",
+                 "--attention_resolutions", "8", "--channel_mult", "1,2",
+                 "--class_cond", "False", "--learn_sigma", "True",
+                 "--use_bf16", "False",
+                 "--use_timestep", "[94, 354, 574, 834]",
+                 "--num_samples", "8", "--batch_size", "8"]
+        out_pt = str(tmp_path / "s_pt.npz")
+        out_mp = str(tmp_path / "s_mp.npz")
+        assert main(["sample", "--model_path", ckpt, "--out", out_pt] + flags) == 0
+        assert main(["sample", "--model_path", mpk, "--out", out_mp] + flags) == 0
+        with np.load(out_pt) as a, np.load(out_mp) as b:
+            np.testing.assert_array_equal(a["arr_0"], b["arr_0"])
