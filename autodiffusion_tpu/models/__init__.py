@@ -9,7 +9,8 @@ from .nn import GroupNorm32, timestep_embedding
 from .sd_unet import SDUNetModel
 from .unet import (AttentionBlock, EncoderUNetModel, ResBlock, SuperResModel,
                    UNetModel, unet_layer_count)
-from .vae import SD_SCALE_FACTOR, AutoencoderKL, Decoder, Encoder
+from .vae import (SD_SCALE_FACTOR, AutoencoderKL, Decoder, Encoder,
+                  VectorQuantizer, VQModelInterface)
 
 __all__ = [
     "ClassifierConfig", "ModelConfig", "attention_ds", "create_classifier",
@@ -19,5 +20,5 @@ __all__ = [
     "SuperResModel", "UNetModel", "unet_layer_count", "CrossAttention",
     "SpatialTransformer", "CLIPTextConfig", "CLIPTextEncoder",
     "ClipBPETokenizer", "SDUNetModel", "AutoencoderKL", "Decoder", "Encoder",
-    "SD_SCALE_FACTOR",
+    "VectorQuantizer", "VQModelInterface", "SD_SCALE_FACTOR",
 ]

@@ -17,7 +17,8 @@ from .clip_text import CLIPTextConfig, convert_clip_text
 from .sd_unet import SDUNetModel
 from .vae import AutoencoderKL
 
-__all__ = ["convert_sd_unet", "convert_vae", "split_sd_checkpoint"]
+__all__ = ["convert_sd_unet", "convert_vae", "convert_vq",
+           "split_sd_checkpoint"]
 
 
 def _np(sd, k):
@@ -234,6 +235,17 @@ def convert_vae(sd: Mapping[str, np.ndarray], model: AutoencoderKL,
     return {"params": {"encoder": enc, "decoder": dec,
                        "quant_conv": _conv(g, "quant_conv"),
                        "post_quant_conv": _conv(g, "post_quant_conv")}}
+
+
+def convert_vq(sd: Mapping[str, np.ndarray], model,
+               prefix: str = "first_stage_model.") -> dict:
+    """LDM VQ first stage (VQModelInterface, autoencoder.py:264-282):
+    the KL layout plus the ``quantize.embedding.weight`` codebook."""
+    g = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)} \
+        if prefix else dict(sd)
+    params = convert_vae(g, model, prefix="")["params"]
+    params["quantize"] = {"embedding": _np(g, "quantize.embedding.weight")}
+    return {"params": params}
 
 
 def split_sd_checkpoint(sd: Mapping[str, np.ndarray], *,

@@ -157,6 +157,78 @@ class Decoder(nn.Module):
             h.astype(jnp.float32))
 
 
+class VectorQuantizer(nn.Module):
+    """Nearest-codebook lookup — the inference path of taming's
+    VectorQuantizer2 used by the LDM VQ first stages
+    (autoencoder.py:6,39-41): argmin over squared distances to the
+    embedding rows, then embed. The straight-through estimator and
+    commitment-loss terms are training-only and do not change the
+    forward value."""
+
+    n_embed: int
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, z):
+        emb = self.param(
+            "embedding",
+            lambda k, s: jax.random.uniform(
+                k, s, jnp.float32, -1.0 / self.n_embed, 1.0 / self.n_embed),
+            (self.n_embed, self.embed_dim))
+        flat = z.reshape(-1, self.embed_dim).astype(jnp.float32)
+        d = ((flat ** 2).sum(-1, keepdims=True) + (emb ** 2).sum(-1)
+             - 2.0 * flat @ emb.T)
+        idx = jnp.argmin(d, axis=-1)
+        return jnp.take(emb, idx, axis=0).reshape(z.shape).astype(z.dtype)
+
+
+class VQModelInterface(nn.Module):
+    """VQ first stage for latent-diffusion models (vq-f4/vq-f8 configs:
+    celebahq/ffhq/lsun_bedrooms-ldm-vq-4, cin-ldm-vq-f8).
+
+    Mirrors ldm/models/autoencoder.py:264-282 VQModelInterface — encode
+    returns the PRE-quantization latent (Encoder + quant_conv only); the
+    diffusion model operates on it and decode quantizes on the way out
+    (quantize -> post_quant_conv -> Decoder) unless force_not_quantize.
+    """
+
+    ch: int = 128
+    out_ch: int = 3
+    ch_mult: Tuple[int, ...] = (1, 2, 4)
+    num_res_blocks: int = 2
+    attn_at_ds: Tuple[int, ...] = ()
+    z_channels: int = 3
+    embed_dim: int = 3
+    n_embed: int = 8192
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(ch=self.ch, ch_mult=self.ch_mult,
+                               num_res_blocks=self.num_res_blocks,
+                               attn_at_ds=self.attn_at_ds,
+                               z_channels=self.z_channels, double_z=False,
+                               dtype=self.dtype)
+        self.decoder = Decoder(ch=self.ch, out_ch=self.out_ch,
+                               ch_mult=self.ch_mult,
+                               num_res_blocks=self.num_res_blocks,
+                               attn_at_ds=self.attn_at_ds, dtype=self.dtype)
+        self.quantize = VectorQuantizer(n_embed=self.n_embed,
+                                        embed_dim=self.embed_dim)
+        self.quant_conv = nn.Conv(self.embed_dim, (1, 1), name="quant_conv")
+        self.post_quant_conv = nn.Conv(self.z_channels, (1, 1),
+                                       name="post_quant_conv")
+
+    def encode(self, x):
+        return self.quant_conv(self.encoder(x))
+
+    def decode(self, h, force_not_quantize: bool = False):
+        quant = h if force_not_quantize else self.quantize(h)
+        return self.decoder(self.post_quant_conv(quant))
+
+    def __call__(self, x):
+        return self.decode(self.encode(x))
+
+
 class AutoencoderKL(nn.Module):
     """encode -> (mean, logvar); decode(z * 1/scale handled by caller)."""
 

@@ -123,6 +123,76 @@ class TestVAEParity:
                                    atol=3e-4, rtol=3e-4)
 
 
+class TestVQParity:
+    def test_tiny_vq_interface_matches(self, sd_ref):
+        """VQModelInterface vs the reference building blocks: ldm
+        Encoder/Decoder (double_z=False) + 1x1 quant convs + a torch
+        mirror of taming VectorQuantizer2's inference path (taming is not
+        installed; its forward is a 6-line nearest-codebook lookup,
+        mirrored here the same way tests/test_inception_parity.py mirrors
+        pytorch_fid). Covers autoencoder.py:264-282: encode returns the
+        PRE-quant latent, decode quantizes."""
+        import torch
+        from ldm.modules.diffusionmodules.model import Decoder as TorchDec
+        from ldm.modules.diffusionmodules.model import Encoder as TorchEnc
+
+        from autodiffusion_tpu.models import VQModelInterface
+        from autodiffusion_tpu.models.sd_convert import convert_vq
+
+        dd = dict(double_z=False, z_channels=3, resolution=32, in_channels=3,
+                  out_ch=3, ch=32, ch_mult=[1, 2], num_res_blocks=1,
+                  attn_resolutions=[16], dropout=0.0)
+        n_embed, embed_dim = 64, 3
+        torch.manual_seed(4)
+        te, td = TorchEnc(**dd), TorchDec(**dd)
+        qc = torch.nn.Conv2d(3, embed_dim, 1)
+        pqc = torch.nn.Conv2d(embed_dim, 3, 1)
+        codebook = torch.nn.Embedding(n_embed, embed_dim)
+        codebook.weight.data.uniform_(-1.0 / n_embed, 1.0 / n_embed)
+        for m in (te, td, qc, pqc):
+            m.eval()
+
+        def torch_quantize(z):   # VectorQuantizer2.forward inference math
+            zf = z.permute(0, 2, 3, 1).reshape(-1, embed_dim)
+            d = (zf.pow(2).sum(1, keepdim=True)
+                 + codebook.weight.pow(2).sum(1)
+                 - 2 * zf @ codebook.weight.t())
+            idx = torch.argmin(d, dim=1)
+            zq = codebook(idx).view(z.shape[0], z.shape[2], z.shape[3],
+                                    embed_dim)
+            return zq.permute(0, 3, 1, 2)
+
+        sd = {}
+        for pfx, m in (("encoder", te), ("decoder", td), ("quant_conv", qc),
+                       ("post_quant_conv", pqc), ("quantize.embedding", codebook)):
+            sd.update({f"{pfx}.{k}": v.detach().numpy()
+                       for k, v in m.state_dict().items()})
+
+        fm = VQModelInterface(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                              attn_at_ds=(2,), z_channels=3,
+                              embed_dim=embed_dim, n_embed=n_embed)
+        params = convert_vq(sd, fm, prefix="")
+
+        rng = np.random.RandomState(5)
+        x = rng.randn(2, 3, 32, 32).astype(np.float32)
+        with torch.no_grad():
+            h_t = qc(te(torch.from_numpy(x)))
+            rec_t = td(pqc(torch_quantize(h_t))).numpy()
+        h = fm.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                     method=fm.encode)
+        np.testing.assert_allclose(np.asarray(h).transpose(0, 3, 1, 2),
+                                   h_t.numpy(), atol=3e-4, rtol=3e-4)
+        got = fm.apply(params, h, method=fm.decode)
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                   rec_t, atol=3e-3, rtol=3e-3)
+        # force_not_quantize path (ddim decode of non-codebook latents)
+        raw = fm.apply(params, h, True, method=fm.decode)
+        with torch.no_grad():
+            want_raw = td(pqc(h_t)).numpy()
+        np.testing.assert_allclose(np.asarray(raw).transpose(0, 3, 1, 2),
+                                   want_raw, atol=3e-3, rtol=3e-3)
+
+
 class TestCLIPTextParity:
     def test_tiny_clip_text_matches_hf(self):
         transformers = pytest.importorskip("transformers")
