@@ -1,7 +1,8 @@
 """Diffusion model families: ADM UNet (+classifier), SD latent stack."""
 
 from .attention import CrossAttention, SpatialTransformer
-from .clip_text import CLIPTextConfig, CLIPTextEncoder, ClipBPETokenizer
+from .clip_text import (CLIPTextConfig, CLIPTextEncoder, ClassEmbedder,
+                        ClipBPETokenizer)
 from .factory import (ClassifierConfig, ModelConfig, attention_ds,
                       create_classifier, create_model, create_sr_model,
                       create_tables, parse_channel_mult)
@@ -20,5 +21,6 @@ __all__ = [
     "SuperResModel", "UNetModel", "unet_layer_count", "CrossAttention",
     "SpatialTransformer", "CLIPTextConfig", "CLIPTextEncoder",
     "ClipBPETokenizer", "SDUNetModel", "AutoencoderKL", "Decoder", "Encoder",
-    "VectorQuantizer", "VQModelInterface", "SD_SCALE_FACTOR",
+    "VectorQuantizer", "VQModelInterface", "ClassEmbedder",
+    "SD_SCALE_FACTOR",
 ]

@@ -94,6 +94,23 @@ class CLIPTextEncoder(nn.Module):
         return ln("final_ln")(h)
 
 
+class ClassEmbedder(nn.Module):
+    """Class-conditional crossattn context: [B] int labels -> [B, 1, D]
+    single-token context sequence (ldm/modules/encoders/modules.py:21-33,
+    the conditioner of the class-conditional LDM configs, e.g.
+    cin256-v2.yaml / cin-ldm-vq-f8.yaml with n_classes=1001 incl. the
+    unconditional-class slot)."""
+
+    embed_dim: int
+    n_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, y):
+        emb = nn.Embed(self.n_classes, self.embed_dim,
+                       name="embedding")(y.astype(jnp.int32))
+        return emb[:, None, :]
+
+
 def convert_clip_text(sd: Mapping[str, np.ndarray],
                       config: CLIPTextConfig) -> dict:
     """HF transformers CLIPTextModel state dict -> flax params."""

@@ -193,6 +193,68 @@ class TestVQParity:
                                    want_raw, atol=3e-3, rtol=3e-3)
 
 
+class TestClassConditionalLDM:
+    def test_class_embedder_shape_and_lookup(self):
+        from autodiffusion_tpu.models import ClassEmbedder
+        m = ClassEmbedder(embed_dim=16, n_classes=10)
+        p = m.init(jax.random.key(0), jnp.zeros((3,), jnp.int32))
+        y = jnp.asarray([1, 7, 7])
+        out = m.apply(p, y)
+        assert out.shape == (3, 1, 16)
+        # single-token context = the raw embedding row (modules.py:28-33)
+        table = p["params"]["embedding"]["embedding"]
+        np.testing.assert_allclose(np.asarray(out[:, 0]),
+                                   np.asarray(table)[np.asarray(y)])
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out[2]))
+
+    def test_class_conditional_ldm_pipeline_composes(self):
+        """cin-ldm-vq-f8-style stack end to end on tiny shapes:
+        ClassEmbedder context -> crossattn latent UNet -> DDIM scan ->
+        VQ first-stage decode (quantizing)."""
+        from autodiffusion_tpu.models import (ClassEmbedder, SDUNetModel,
+                                              VQModelInterface)
+        from autodiffusion_tpu.samplers import ddim_sample_loop
+        from autodiffusion_tpu.samplers.diffusion import ModelVarType
+        from autodiffusion_tpu.schedules import build_sd_tables
+
+        unet = SDUNetModel(in_channels=4, model_channels=32, out_channels=4,
+                           num_res_blocks=1, attention_ds=(1,),
+                           channel_mult=(1, 2), num_heads=2, context_dim=16)
+        emb = ClassEmbedder(embed_dim=16, n_classes=10)
+        vq = VQModelInterface(ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                              z_channels=4, embed_dim=4, n_embed=32)
+        z1 = jnp.zeros((1, 8, 8, 4))
+        up = unet.init(jax.random.key(0), z1, jnp.zeros((1,)),
+                       jnp.zeros((1, 1, 16)))
+        ep = emb.init(jax.random.key(1), jnp.zeros((2,), jnp.int32))
+        vp = vq.init(jax.random.key(2), jnp.zeros((1, 16, 16, 3)))
+
+        ctx = emb.apply(ep, jnp.asarray([3, 8]))
+        tables = build_sd_tables([100, 400, 700, 950])
+        z = ddim_sample_loop(
+            lambda x, t, i: unet.apply(up, x, t, ctx), (2, 8, 8, 4), tables,
+            rng=jax.random.key(0), clip_denoised=False,
+            var_type=ModelVarType.FIXED_SMALL)
+        img = vq.apply(vp, z, method=vq.decode)
+        assert img.shape == (2, 16, 16, 3)
+        assert np.isfinite(np.asarray(img)).all()
+        # different classes condition differently — un-zero the
+        # zero-initialized projection layers first (at init the crossattn
+        # proj_out is zero per CompVis convention, so context is inert)
+        up2 = jax.tree_util.tree_map(
+            lambda a: jnp.where(a == 0, 0.01, a) if a.ndim >= 2 else a, up)
+        za = ddim_sample_loop(
+            lambda x, t, i: unet.apply(up2, x, t, ctx), (2, 8, 8, 4), tables,
+            rng=jax.random.key(0), clip_denoised=False,
+            var_type=ModelVarType.FIXED_SMALL)
+        ctx2 = emb.apply(ep, jnp.asarray([5, 5]))
+        zb = ddim_sample_loop(
+            lambda x, t, i: unet.apply(up2, x, t, ctx2), (2, 8, 8, 4), tables,
+            rng=jax.random.key(0), clip_denoised=False,
+            var_type=ModelVarType.FIXED_SMALL)
+        assert not np.allclose(np.asarray(za), np.asarray(zb))
+
+
 class TestCLIPTextParity:
     def test_tiny_clip_text_matches_hf(self):
         transformers = pytest.importorskip("transformers")
