@@ -62,6 +62,7 @@ def _search_defaults():
         num_samples=5000, batch_size=100, max_epochs=10, select_num=10,
         population_num=50, m_prob=0.25, crossover_num=15, mutation_num=25,
         use_ddim_init_x=True, seed=0, candidate_chunk=4,
+        max_device_batch=-1,   # -1 = auto HBM cap (fitness.py), 0 = off
         use_dynamic_unet=False, index_step=0, max_prun=0.1, min_prun=0.0,
         init_timesteps="", inception_path="", class_cond=True,
         image_size=64, num_channels=192, num_res_blocks=3,
@@ -119,7 +120,9 @@ def cmd_search(args) -> int:
         classifier_scale=args.classifier_scale,
         num_classes=1000 if cfg.class_cond else None,
         use_ddim=args.use_ddim, joint=joint,
-        candidate_chunk=args.candidate_chunk, seed=args.seed)
+        candidate_chunk=args.candidate_chunk, seed=args.seed,
+        max_device_batch=(None if args.max_device_batch < 0
+                          else args.max_device_batch))
 
     hook = None
     if joint:

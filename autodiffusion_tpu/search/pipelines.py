@@ -43,7 +43,8 @@ def make_adm_fitness(*, model, params, image_size: int,
                      joint: bool = False,
                      candidate_chunk: int = 8, seed: int = 0,
                      feature_dim: int = 2048,
-                     shard_fn: Optional[Callable] = None) -> BatchedFIDFitness:
+                     shard_fn: Optional[Callable] = None,
+                     max_device_batch: Optional[int] = None) -> BatchedFIDFitness:
     """Fitness for timestep-only (joint=False) or joint timestep+arch search.
 
     shard_fn, if given, wraps arrays with a sharding constraint so the batch
@@ -98,4 +99,5 @@ def make_adm_fitness(*, model, params, image_size: int,
         payload_fn=payload_fn, sample_fn=sample_fn, feature_fn=feature_fn,
         ref_stats=ref_stats, num_samples=num_samples, batch_size=batch_size,
         static_payload=(params, classifier_params),
-        candidate_chunk=candidate_chunk, seed=seed, feature_dim=feature_dim)
+        candidate_chunk=candidate_chunk, seed=seed, feature_dim=feature_dim,
+        max_device_batch=max_device_batch)

@@ -195,6 +195,30 @@ class TestBatchedFitness:
         np.testing.assert_allclose(batch, single, rtol=0.05)
         assert np.argsort(batch).tolist() == np.argsort(single).tolist()
 
+    def test_device_batch_cap_splits_evenly(self):
+        # published config: chunk 4 x batch 100 capped at 128 samples per
+        # dispatch -> 4 even sub-slices of 25 per candidate
+        f = self._fitness(candidate_chunk=4, batch_size=100, num_samples=100,
+                          max_device_batch=128)
+        assert f.device_batch == 25
+        # under the cap: unchanged; 0 disables
+        assert self._fitness(max_device_batch=128).device_batch == 16
+        assert self._fitness(candidate_chunk=4, batch_size=100,
+                             max_device_batch=0).device_batch == 100
+
+    def test_device_batch_cap_preserves_fid_math(self):
+        # with an rng-free sampler, sub-batched accumulation is exactly
+        # the same math as one big batch
+        def sample_const(static, payload, rng, batch_idx):
+            base = payload["v"][:, 0] / 1000.0 * 2 - 1
+            return to_uint8(base[:, None, None, None] * jnp.ones((1, 4, 4, 3)))
+
+        cands = [(500, 1), (450, 2), (990, 3)]
+        a = self._fitness(sample_fn=sample_const, max_device_batch=0)(cands)
+        b = self._fitness(sample_fn=sample_const, max_device_batch=8)(cands)
+        # identical samples; only the f32 moment-accumulation order differs
+        np.testing.assert_allclose(a, b, rtol=1e-3)
+
 
 class TestEndToEndTinySearch:
     def test_adm_pipeline_runs(self):
