@@ -328,9 +328,15 @@ def _sd_stack(args):
     vae = AutoencoderKL(dtype=dtype)
     clip_cfg = CLIPTextConfig()
     clip = CLIPTextEncoder(clip_cfg, dtype=dtype)
-    sd = load_torch_state_dict(args.ckpt)
-    uparams, vparams, cparams = split_sd_checkpoint(
-        sd, unet=unet, vae=vae, clip_config=clip_cfg)
+    if os.path.isdir(args.ckpt):
+        # own-format directory written by `adt convert --preset sd`
+        from ..models.sd_convert import load_sd_params_dir
+        uparams, vparams, cparams = load_sd_params_dir(
+            args.ckpt, unet=unet, vae=vae, clip=clip, clip_config=clip_cfg)
+    else:
+        sd = load_torch_state_dict(args.ckpt)
+        uparams, vparams, cparams = split_sd_checkpoint(
+            sd, unet=unet, vae=vae, clip_config=clip_cfg)
     tok = ClipBPETokenizer.from_files(args.clip_vocab, args.clip_merges)
     return unet, uparams, vae, vparams, clip, cparams, tok
 
@@ -746,9 +752,26 @@ def cmd_ref_stats(args) -> int:
 
 
 def cmd_convert(args) -> int:
-    from ..models import ModelConfig, create_model
-    from ..models.convert import convert_unet, load_torch_state_dict
+    from ..models.convert import load_torch_state_dict
     from ..utils.checkpoint import save_tree
+
+    if args.preset == "sd":
+        # one CompVis .ckpt -> directory of three towers, consumed by
+        # every SD subcommand via --ckpt <dir>
+        from ..models import AutoencoderKL, CLIPTextConfig, SDUNetModel
+        from ..models.sd_convert import (save_sd_params_dir,
+                                         split_sd_checkpoint)
+        sd = load_torch_state_dict(args.torch_path)
+        u, v, c = split_sd_checkpoint(sd, unet=SDUNetModel(),
+                                      vae=AutoencoderKL(),
+                                      clip_config=CLIPTextConfig())
+        save_sd_params_dir(args.out, u, v, c)
+        print(f"converted {args.torch_path} -> {args.out}/"
+              f"{{sd_unet,sd_vae,sd_clip}}.msgpack")
+        return 0
+
+    from ..models import ModelConfig, create_model
+    from ..models.convert import convert_unet
 
     cfg = ModelConfig.adm64() if args.preset == "adm64" else ModelConfig()
     model = create_model(cfg)

@@ -18,7 +18,8 @@ from .sd_unet import SDUNetModel
 from .vae import AutoencoderKL
 
 __all__ = ["convert_sd_unet", "convert_vae", "convert_vq",
-           "split_sd_checkpoint"]
+           "split_sd_checkpoint", "save_sd_params_dir",
+           "load_sd_params_dir"]
 
 
 def _np(sd, k):
@@ -246,6 +247,48 @@ def convert_vq(sd: Mapping[str, np.ndarray], model,
     params = convert_vae(g, model, prefix="")["params"]
     params["quantize"] = {"embedding": _np(g, "quantize.embedding.weight")}
     return {"params": params}
+
+
+def save_sd_params_dir(path: str, unet_params, vae_params,
+                       clip_params) -> None:
+    """Write the three converted SD towers as an own-format directory
+    (sd_unet/sd_vae/sd_clip.msgpack), loadable by load_sd_params_dir."""
+    import os
+
+    from ..utils.checkpoint import save_tree
+
+    os.makedirs(path, exist_ok=True)
+    for name, tree in (("sd_unet", unet_params), ("sd_vae", vae_params),
+                       ("sd_clip", clip_params)):
+        save_tree(os.path.join(path, f"{name}.msgpack"), tree)
+
+
+def load_sd_params_dir(path: str, *, unet: SDUNetModel, vae,
+                       clip, clip_config: CLIPTextConfig):
+    """Load a save_sd_params_dir directory back into (unet_params,
+    vae_params, clip_params) for the given model instances."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.checkpoint import load_tree
+
+    def tpl(model, *init_args):
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.key(0), *init_args))
+        return jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes)
+
+    ds = 8 * 2 ** (len(unet.channel_mult) - 1)   # full down/up roundtrip
+    u = tpl(unet, jnp.zeros((1, ds, ds, unet.in_channels)),
+            jnp.zeros((1,)), jnp.zeros((1, 2, unet.context_dim)))
+    v = tpl(vae, jnp.zeros((1, 2 ** len(vae.ch_mult) * 2,
+                            2 ** len(vae.ch_mult) * 2, 3)))
+    c = tpl(clip, jnp.zeros((1, clip_config.max_length), jnp.int32))
+    return tuple(
+        load_tree(os.path.join(path, f"{name}.msgpack"), t)
+        for name, t in (("sd_unet", u), ("sd_vae", v), ("sd_clip", c)))
 
 
 def split_sd_checkpoint(sd: Mapping[str, np.ndarray], *,

@@ -332,3 +332,36 @@ class TestSampleCLIEndToEnd:
         assert main(["sample", "--model_path", mpk, "--out", out_mp] + flags) == 0
         with np.load(out_pt) as a, np.load(out_mp) as b:
             np.testing.assert_array_equal(a["arr_0"], b["arr_0"])
+
+
+class TestSDParamsDir:
+    def test_save_load_roundtrip(self, tmp_path):
+        """adt convert --preset sd directory format: three towers saved
+        and reloaded bitwise (the --ckpt <dir> path of every SD
+        subcommand)."""
+        from autodiffusion_tpu.models import (AutoencoderKL, CLIPTextConfig,
+                                              CLIPTextEncoder, SDUNetModel)
+        from autodiffusion_tpu.models.sd_convert import (load_sd_params_dir,
+                                                         save_sd_params_dir)
+
+        unet = SDUNetModel(in_channels=4, model_channels=32, out_channels=4,
+                           num_res_blocks=1, attention_ds=(1,),
+                           channel_mult=(1, 2), num_heads=2, context_dim=16)
+        vae = AutoencoderKL(ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                            z_channels=4, embed_dim=4)
+        cfg = CLIPTextConfig(vocab_size=50, width=16, layers=1, heads=2,
+                             max_length=7)
+        clip = CLIPTextEncoder(cfg)
+        up = unet.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+                       jnp.zeros((1,)), jnp.zeros((1, 2, 16)))
+        vp = vae.init(jax.random.key(1), jnp.zeros((1, 8, 8, 3)))
+        cp = clip.init(jax.random.key(2), jnp.zeros((1, 7), jnp.int32))
+
+        d = str(tmp_path / "sd_ckpt")
+        save_sd_params_dir(d, up, vp, cp)
+        u2, v2, c2 = load_sd_params_dir(d, unet=unet, vae=vae, clip=clip,
+                                        clip_config=cfg)
+        for got, want in ((u2, up), (v2, vp), (c2, cp)):
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)), got, want)
