@@ -45,6 +45,15 @@ def _params_from(path, model, init_args, convert_fn):
     return convert_fn(load_torch_state_dict(path), model)
 
 
+def _write_pngs(dir_: str, arr) -> None:
+    """*_generate_image.py / txt2img.py parity: one PNG per sample."""
+    from PIL import Image
+    os.makedirs(dir_, exist_ok=True)
+    for i, img in enumerate(np.asarray(arr)):
+        Image.fromarray(img).save(f"{dir_}/{i:06d}.png")
+    logger.log(f"wrote {len(arr)} PNGs to {dir_}")
+
+
 def _adm_init_args(cfg):
     import jax.numpy as jnp
     a = [jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
@@ -246,13 +255,7 @@ def cmd_sample(args) -> int:
         np.savez(out, arr_0=arr)
     logger.log(f"saved to {out}")
     if args.save_png_dir:
-        # *_generate_image.py parity: individual PNGs
-        import os
-        from PIL import Image
-        os.makedirs(args.save_png_dir, exist_ok=True)
-        for i, img in enumerate(arr):
-            Image.fromarray(img).save(f"{args.save_png_dir}/{i:06d}.png")
-        logger.log(f"wrote {len(arr)} PNGs to {args.save_png_dir}")
+        _write_pngs(args.save_png_dir, arr)
     return 0
 
 
@@ -447,6 +450,8 @@ def cmd_txt2img(args) -> int:
         lambda p, zz: vae.apply(p, zz, method=vae.decode), vparams, z)
     out = args.out or "txt2img_samples.npz"
     np.savez(out, arr_0=np.asarray(imgs))
+    if args.save_png_dir:
+        _write_pngs(args.save_png_dir, imgs)
     print(f"saved {n} samples to {out}")
     return 0
 
@@ -508,6 +513,8 @@ def cmd_img2img(args) -> int:
         lambda p, zz: vae.apply(p, zz, method=vae.decode), vparams, z)
     out = args.out or "img2img_samples.npz"
     np.savez(out, arr_0=np.asarray(imgs))
+    if args.save_png_dir:
+        _write_pngs(args.save_png_dir, imgs)
     print(f"saved {n} samples to {out}")
     return 0
 
@@ -823,14 +830,15 @@ def main(argv=None) -> int:
     add_dict_to_argparser(p, dict(
         ckpt="", clip_vocab="", clip_merges="", prompt="", from_file="",
         sampler="plms", scale=7.5, H=512, W=512, steps=50, timesteps="",
-        prompt_mask="", n_samples=4, seed=42, out="", use_bf16=True))
+        prompt_mask="", n_samples=4, seed=42, out="", save_png_dir="",
+        use_bf16=True))
     p.set_defaults(fn=cmd_txt2img)
 
     p = sub.add_parser("img2img", help="image-to-image (SD)")
     add_dict_to_argparser(p, dict(
         ckpt="", clip_vocab="", clip_merges="", prompt="", init_img="",
         strength=0.75, scale=7.5, H=512, W=512, steps=50, timesteps="",
-        n_samples=2, seed=42, out="", use_bf16=True))
+        n_samples=2, seed=42, out="", save_png_dir="", use_bf16=True))
     p.set_defaults(fn=cmd_img2img)
 
     p = sub.add_parser("train", help="train/fine-tune a diffusion UNet")
