@@ -71,3 +71,118 @@ class TestTwoProcessDistributed:
             outs.append(out)
             assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
         assert "RANK0_OK" in outs[0] and "RANK1_OK" in outs[1]
+
+
+TRAIN_WORKER = textwrap.dedent("""
+    import os, sys
+    import numpy as np
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1])
+    jax.distributed.initialize(coordinator_address=sys.argv[2],
+                               num_processes=2, process_id=pid,
+                               local_device_ids=[0])
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from autodiffusion_tpu.models import UNetModel
+    from autodiffusion_tpu.parallel import data_sharder, make_mesh
+    from autodiffusion_tpu.parallel.dist import all_gather_host, barrier
+    from autodiffusion_tpu.schedules import build_tables
+    from autodiffusion_tpu.train import create_train_state, make_train_step
+
+    mesh = make_mesh()        # ('data','model') over the 2-process devices
+    m = UNetModel(model_channels=16, out_channels=6, num_res_blocks=1,
+                  attention_ds=(2,), channel_mult=(1,), num_head_channels=16)
+    params = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)),
+                    jnp.zeros((1,)))
+    state = create_train_state(params, lr=1e-3)
+    step = jax.jit(make_train_step(m.apply, data_sharder=data_sharder(mesh)))
+    tables = build_tables(list(range(0, 1000, 100)), base_schedule="cosine")
+
+    # global batch of 4: rank p owns samples [2p, 2p+1] of a COMMON stream
+    full_x = np.stack([np.random.RandomState(i).randn(8, 8, 3)
+                       for i in range(4)]).astype(np.float32)
+    full_t = np.array([1, 3, 5, 7], np.int32)
+    local = {"x": full_x[2 * pid:2 * pid + 2]}
+    with mesh:
+        gx = multihost_utils.host_local_array_to_global_array(
+            local["x"], mesh, P("data"))
+        gt = multihost_utils.host_local_array_to_global_array(
+            full_t[2 * pid:2 * pid + 2], mesh, P("data"))
+        gw = multihost_utils.host_local_array_to_global_array(
+            np.ones((2,), np.float32), mesh, P("data"))
+    state, metrics = step(state, tables, {"x": gx}, gt, gw,
+                          jax.random.key(7))
+    loss = float(metrics["loss"])
+
+    # every rank must see the same psum-reduced loss and identical params
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    checksum = float(jnp.sum(jnp.abs(leaf)))
+    gathered = np.asarray(all_gather_host(np.array([loss, checksum])))
+    gathered = gathered.reshape(2, 2)
+    assert np.allclose(gathered[0], gathered[1], rtol=1e-6), gathered
+    assert np.isfinite(loss), loss
+    print(f"RANK{pid}_LOSS={loss:.8f}")
+    barrier("train_end")
+""")
+
+
+class TestTwoProcessDataParallelTrain:
+    def test_train_step_matches_single_process(self, tmp_path):
+        """One GSPMD-sharded train step over a REAL 2-process mesh: both
+        ranks converge to identical loss/params (implicit psum), and the
+        loss equals the same step computed unsharded in this process
+        (the DDP-equivalence guarantee, train_util.py:100-109)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        port = socket.socket()
+        port.bind(("localhost", 0))
+        addr = f"localhost:{port.getsockname()[1]}"
+        port.close()
+
+        script = tmp_path / "train_worker.py"
+        script.write_text(TRAIN_WORKER)
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        procs = [subprocess.Popen([sys.executable, str(script), str(i), addr],
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, text=True,
+                                  env=env)
+                 for i in range(2)]
+        outs = []
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+            assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+        losses = []
+        for out in outs:
+            for line in out.splitlines():
+                if "_LOSS=" in line:
+                    losses.append(float(line.split("=")[1]))
+        assert len(losses) == 2 and losses[0] == losses[1], losses
+
+        # unsharded single-process reference on the identical global batch
+        from autodiffusion_tpu.models import UNetModel
+        from autodiffusion_tpu.schedules import build_tables
+        from autodiffusion_tpu.train import create_train_state, make_train_step
+
+        m = UNetModel(model_channels=16, out_channels=6, num_res_blocks=1,
+                      attention_ds=(2,), channel_mult=(1,),
+                      num_head_channels=16)
+        params = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)),
+                        jnp.zeros((1,)))
+        state = create_train_state(params, lr=1e-3)
+        step = jax.jit(make_train_step(m.apply))
+        tables = build_tables(list(range(0, 1000, 100)),
+                              base_schedule="cosine")
+        full_x = np.stack([np.random.RandomState(i).randn(8, 8, 3)
+                           for i in range(4)]).astype(np.float32)
+        _, metrics = step(state, tables, {"x": jnp.asarray(full_x)},
+                          jnp.asarray([1, 3, 5, 7]), jnp.ones((4,)),
+                          jax.random.key(7))
+        np.testing.assert_allclose(losses[0], float(metrics["loss"]),
+                                   rtol=2e-5)
