@@ -151,11 +151,59 @@ def bench_sd():
             "value": round(dt * 1e3, 1), "unit": "ms/step"}
 
 
+def bench_sd_fitness(chunk: int = 2, batch: int = 6, K: int = 4):
+    """TRUE SD candidate fitness at the published search config: K-step
+    PLMS CFG sampling + VAE 512px decode + InceptionV3 + moments +
+    Frechet per candidate (sd/scripts/search_ea.py get_cand_fid)."""
+    from autodiffusion_tpu.fid import (FIDInceptionV3, FIDStats,
+                                       make_inception_feature_fn)
+    from autodiffusion_tpu.models import AutoencoderKL, SDUNetModel
+    from autodiffusion_tpu.search.sd_pipelines import make_sd_fitness
+
+    unet = SDUNetModel(dtype=jnp.bfloat16)
+    vae = AutoencoderKL(dtype=jnp.bfloat16)
+    z1 = jnp.zeros((1, 64, 64, 4))
+    shapes = jax.eval_shape(
+        lambda: (unet.init(jax.random.key(0), z1, jnp.zeros((1,)),
+                           jnp.zeros((1, 77, 768))),
+                 vae.init(jax.random.key(1), jnp.zeros((1, 32, 32, 3))),
+                 FIDInceptionV3().init(jax.random.key(2),
+                                      jnp.zeros((1, 299, 299, 3)))))
+    uparams, vparams, iparams = _zeros_like_shapes(shapes)
+    jax.block_until_ready((uparams, vparams, iparams))
+
+    ref = FIDStats(np.zeros(2048), np.eye(2048))
+    num_samples = batch                      # one batch per candidate slice
+    fitness = make_sd_fitness(
+        unet=unet, unet_params=uparams, vae=vae, vae_params=vparams,
+        context_bank=jnp.zeros((16, 77, 768)),
+        uncond_context=jnp.zeros((77, 768)),
+        feature_fn=make_inception_feature_fn(iparams), ref_stats=ref,
+        num_samples=num_samples, batch_size=batch, sampler="plms",
+        candidate_chunk=chunk, seed=0)
+    # published searched 4-step artifact-style candidate (ints for plms)
+    cands = [(94, 217, 574, 944)] + [(100 + i, 300 + i, 600 + i, 900 + i)
+                                     for i in range(1, chunk)]
+    fitness(cands)                           # warmup/compile
+    t0 = time.time()
+    fitness(cands)
+    dt = time.time() - t0
+    return {
+        "metric": f"sd_plms{K}_full_fitness_chunk{chunk}x{batch}_512px",
+        "value": round(dt / chunk, 3),
+        "unit": f"sec/candidate ({num_samples} samples)",
+        "imgs_per_sec_chip": round(chunk * num_samples / dt, 2),
+        "includes": "CFG PLMS sampling + VAE decode + inceptionv3 + "
+                    "moments + eigh frechet",
+    }
+
+
 BENCHES = {
     "adm_fitness": lambda: bench_adm_fitness(2, 16),
     "adm_fitness_search": lambda: bench_adm_fitness(4, 100, n_batches=1),
     "lsun": bench_lsun256,
     "sd": bench_sd,
+    "sd_fitness": bench_sd_fitness,
 }
 
 
