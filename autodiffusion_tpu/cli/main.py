@@ -519,6 +519,74 @@ def cmd_img2img(args) -> int:
     return 0
 
 
+def cmd_ldm_sample(args) -> int:
+    """Unconditional latent-diffusion sampling — the celebahq/ffhq/
+    lsun-churches LDM model zoo (sd/scripts/sample_diffusion.py):
+    DDIM over the latent space, then first-stage KL or VQ decode.
+    Defaults match celebahq-ldm-vq-4.yaml."""
+    import ast
+    import jax
+    import jax.numpy as jnp
+    from ..models import AutoencoderKL, UNetModel, VQModelInterface
+    from ..models.convert import convert_unet, load_torch_state_dict
+    from ..models.sd_convert import convert_vae, convert_vq
+    from ..samplers import ddim_sample_loop
+    from ..samplers.diffusion import ModelVarType
+    from ..schedules import build_sd_tables, make_ddim_timesteps
+    from ..search.fitness import to_uint8
+
+    dtype = jnp.bfloat16 if args.use_bf16 else jnp.float32
+    mult = tuple(int(m) for m in str(args.channel_mult).split(","))
+    attn = tuple(int(d) for d in str(args.attention_ds).split(",") if d)
+    unet = UNetModel(model_channels=args.num_channels,
+                     out_channels=args.latent_channels,
+                     num_res_blocks=args.num_res_blocks,
+                     attention_ds=attn, channel_mult=mult,
+                     num_head_channels=args.num_head_channels,
+                     use_scale_shift_norm=False, resblock_updown=False,
+                     use_new_attention_order=False, dtype=dtype)
+    sd = load_torch_state_dict(args.ckpt)
+    usd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
+           if k.startswith("model.diffusion_model.")}
+    params = convert_unet(usd, unet)
+
+    fs_mult = tuple(int(m) for m in str(args.fs_ch_mult).split(","))
+    if args.first_stage == "vq":
+        fs = VQModelInterface(ch=args.fs_ch, ch_mult=fs_mult,
+                              num_res_blocks=args.fs_num_res_blocks,
+                              z_channels=args.latent_channels,
+                              embed_dim=args.embed_dim, n_embed=args.n_embed,
+                              dtype=dtype)
+        fs_params = convert_vq(sd, fs)
+    else:
+        fs = AutoencoderKL(ch=args.fs_ch, ch_mult=fs_mult,
+                           num_res_blocks=args.fs_num_res_blocks,
+                           z_channels=args.latent_channels,
+                           embed_dim=args.latent_channels, dtype=dtype)
+        fs_params = convert_vae(sd, fs)
+
+    steps = (ast.literal_eval(args.timesteps) if args.timesteps
+             else make_ddim_timesteps("uniform", args.steps, 1000))
+    tables = build_sd_tables(steps, linear_start=args.linear_start,
+                             linear_end=args.linear_end)
+    n = args.n_samples
+    rng = jax.random.key(args.seed)
+    hw = args.latent_size
+    z = ddim_sample_loop(
+        lambda x, t, i: unet.apply(params, x, t),
+        (n, hw, hw, args.latent_channels), tables, rng=rng,
+        eta=args.eta, clip_denoised=False,
+        var_type=ModelVarType.FIXED_SMALL)
+    x = fs.apply(fs_params, z / args.scale_factor, method=fs.decode)
+    imgs = np.asarray(to_uint8(x))
+    out = args.out or "ldm_samples.npz"
+    np.savez(out, arr_0=imgs)
+    if args.save_png_dir:
+        _write_pngs(args.save_png_dir, imgs)
+    print(f"saved {n} samples to {out}")
+    return 0
+
+
 def cmd_train_classifier(args) -> int:
     """Train the noisy guidance classifier (scripts/classifier_train.py)."""
     import time
@@ -840,6 +908,19 @@ def main(argv=None) -> int:
         strength=0.75, scale=7.5, H=512, W=512, steps=50, timesteps="",
         n_samples=2, seed=42, out="", save_png_dir="", use_bf16=True))
     p.set_defaults(fn=cmd_img2img)
+
+    p = sub.add_parser("ldm-sample",
+                       help="unconditional latent-diffusion sampling")
+    add_dict_to_argparser(p, dict(
+        ckpt="", latent_size=64, latent_channels=3, first_stage="vq",
+        fs_ch=128, fs_ch_mult="1,2,4", fs_num_res_blocks=2,
+        n_embed=8192, embed_dim=3,
+        num_channels=224, num_res_blocks=2, channel_mult="1,2,3,4",
+        attention_ds="8,4,2", num_head_channels=32,
+        linear_start=0.0015, linear_end=0.0195, steps=50, timesteps="",
+        eta=1.0, scale_factor=1.0, n_samples=4, seed=0, out="",
+        save_png_dir="", use_bf16=True))
+    p.set_defaults(fn=cmd_ldm_sample)
 
     p = sub.add_parser("train", help="train/fine-tune a diffusion UNet")
     add_dict_to_argparser(p, dict(

@@ -365,3 +365,62 @@ class TestSDParamsDir:
             jax.tree_util.tree_map(
                 lambda a, b: np.testing.assert_array_equal(
                     np.asarray(a), np.asarray(b)), got, want)
+
+
+class TestLDMSampleCLI:
+    def test_ldm_sample_end_to_end(self, tmp_path):
+        """adt ldm-sample on a fabricated tiny LDM checkpoint
+        (model.diffusion_model.* = openaimodel uncond UNet,
+        first_stage_model.* = VQ stage): DDIM latents -> quantizing VQ
+        decode -> uint8 npz (sample_diffusion.py path)."""
+        import sys
+        sys.path.insert(0, "/root/reference/examples/Stable Diffusion")
+        import torch
+        from ldm.modules.diffusionmodules.model import Decoder as TorchDec
+        from ldm.modules.diffusionmodules.model import Encoder as TorchEnc
+        from ldm.modules.diffusionmodules.openaimodel import \
+            UNetModel as LDMUNet
+
+        from autodiffusion_tpu.cli.main import main
+
+        torch.manual_seed(8)
+        tm = LDMUNet(image_size=8, in_channels=3, out_channels=3,
+                     model_channels=32, num_res_blocks=1,
+                     attention_resolutions=(2,), dropout=0.0,
+                     channel_mult=(1, 2), num_classes=None,
+                     use_checkpoint=False, use_fp16=False, num_heads=1,
+                     num_head_channels=32, num_heads_upsample=-1,
+                     use_scale_shift_norm=False, resblock_updown=False,
+                     use_new_attention_order=False,
+                     use_spatial_transformer=False)
+        dd = dict(double_z=False, z_channels=3, resolution=16, in_channels=3,
+                  out_ch=3, ch=32, ch_mult=[1, 2], num_res_blocks=1,
+                  attn_resolutions=[], dropout=0.0)
+        te, td = TorchEnc(**dd), TorchDec(**dd)
+        qc, pqc = torch.nn.Conv2d(3, 3, 1), torch.nn.Conv2d(3, 3, 1)
+        emb = torch.nn.Embedding(16, 3)
+
+        sd = {f"model.diffusion_model.{k}": v
+              for k, v in tm.state_dict().items()}
+        for pfx, m in (("encoder", te), ("decoder", td), ("quant_conv", qc),
+                       ("post_quant_conv", pqc), ("quantize.embedding", emb)):
+            sd.update({f"first_stage_model.{pfx}.{k}": v
+                       for k, v in m.state_dict().items()})
+        ckpt = str(tmp_path / "ldm_tiny.pt")
+        torch.save(sd, ckpt)
+
+        out = str(tmp_path / "ldm.npz")
+        rc = main(["ldm-sample", "--ckpt", ckpt, "--latent_size", "8",
+                   "--latent_channels", "3", "--first_stage", "vq",
+                   "--fs_ch", "32", "--fs_ch_mult", "1,2",
+                   "--fs_num_res_blocks", "1", "--n_embed", "16",
+                   "--embed_dim", "3", "--num_channels", "32",
+                   "--num_res_blocks", "1", "--channel_mult", "1,2",
+                   "--attention_ds", "2", "--num_head_channels", "32",
+                   "--steps", "5", "--n_samples", "2", "--use_bf16", "False",
+                   "--out", out])
+        assert rc == 0
+        with np.load(out) as z:
+            arr = z["arr_0"]
+        assert arr.shape == (2, 16, 16, 3) and arr.dtype == np.uint8
+        assert np.isfinite(arr.astype(np.float64)).all()

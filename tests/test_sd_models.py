@@ -123,6 +123,50 @@ class TestVAEParity:
                                    atol=3e-4, rtol=3e-4)
 
 
+class TestUncondLDMUNetParity:
+    def test_openaimodel_uncond_converts_via_adm_converter(self, sd_ref):
+        """The unconditional LDM UNet (openaimodel with
+        use_spatial_transformer=False — the celebahq/ffhq/lsun-churches
+        first-stage-latent models) is structurally the guided-diffusion
+        UNet, so models.convert.convert_unet maps its state dict onto our
+        ADM UNetModel. Output parity on tiny shapes."""
+        import torch
+        from ldm.modules.diffusionmodules.openaimodel import \
+            UNetModel as LDMUNet
+
+        from autodiffusion_tpu.models import UNetModel
+        from autodiffusion_tpu.models.convert import convert_unet
+
+        torch.manual_seed(6)
+        tm = LDMUNet(image_size=16, in_channels=3, model_channels=32,
+                     out_channels=3, num_res_blocks=1,
+                     attention_resolutions=(2,), dropout=0.0,
+                     channel_mult=(1, 2), conv_resample=True, dims=2,
+                     num_classes=None, use_checkpoint=False, use_fp16=False,
+                     num_heads=2, num_head_channels=-1, num_heads_upsample=-1,
+                     use_scale_shift_norm=False, resblock_updown=False,
+                     use_new_attention_order=False,
+                     use_spatial_transformer=False)
+        tm.eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+        fm = UNetModel(model_channels=32, out_channels=3, num_res_blocks=1,
+                       attention_ds=(2,), channel_mult=(1, 2), num_heads=2,
+                       num_head_channels=-1, use_scale_shift_norm=False,
+                       resblock_updown=False, use_new_attention_order=False)
+        params = convert_unet(sd, fm)
+
+        rng = np.random.RandomState(7)
+        x = rng.randn(2, 3, 16, 16).astype(np.float32)
+        t = np.array([3.0, 700.0], dtype=np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+        got = fm.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                   want, atol=3e-4, rtol=3e-4)
+
+
 class TestVQParity:
     def test_tiny_vq_interface_matches(self, sd_ref):
         """VQModelInterface vs the reference building blocks: ldm
