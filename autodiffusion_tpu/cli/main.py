@@ -587,6 +587,103 @@ def cmd_ldm_sample(args) -> int:
     return 0
 
 
+def cmd_inpaint(args) -> int:
+    """Latent inpainting (sd/scripts/inpaint.py, inpainting_big-style
+    model): the UNet is concat-conditioned on [masked-image latent,
+    downsampled mask]; sampled latents decode through the first stage
+    and composite with the original outside the mask.
+
+    --indir scans for `X.png` + `X_mask.png` pairs (reference layout);
+    --image/--mask select a single pair."""
+    import glob as globmod
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from ..models import AutoencoderKL, UNetModel, VQModelInterface
+    from ..models.convert import convert_unet, load_torch_state_dict
+    from ..models.sd_convert import convert_vae, convert_vq
+    from ..samplers import ddim_sample_loop
+    from ..samplers.diffusion import ModelVarType
+    from ..schedules import build_sd_tables, make_ddim_timesteps
+
+    pairs = ([(args.image, args.mask)] if args.image else
+             [(m.replace("_mask.png", ".png"), m)
+              for m in sorted(globmod.glob(os.path.join(args.indir,
+                                                        "*_mask.png")))])
+    if not pairs:
+        print("no image/mask pairs found")
+        return 1
+
+    dtype = jnp.bfloat16 if args.use_bf16 else jnp.float32
+    mult = tuple(int(m) for m in str(args.channel_mult).split(","))
+    attn = tuple(int(d) for d in str(args.attention_ds).split(",") if d)
+    unet = UNetModel(model_channels=args.num_channels,
+                     out_channels=args.latent_channels,
+                     num_res_blocks=args.num_res_blocks,
+                     attention_ds=attn, channel_mult=mult,
+                     num_head_channels=args.num_head_channels,
+                     use_scale_shift_norm=False, resblock_updown=False,
+                     use_new_attention_order=False, dtype=dtype)
+    sd = load_torch_state_dict(args.ckpt)
+    usd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
+           if k.startswith("model.diffusion_model.")}
+    params = convert_unet(usd, unet)
+    fs_mult = tuple(int(m) for m in str(args.fs_ch_mult).split(","))
+    if args.first_stage == "vq":
+        fs = VQModelInterface(ch=args.fs_ch, ch_mult=fs_mult,
+                              num_res_blocks=args.fs_num_res_blocks,
+                              z_channels=args.latent_channels,
+                              embed_dim=args.embed_dim, n_embed=args.n_embed,
+                              dtype=dtype)
+        fs_params = convert_vq(sd, fs)
+    else:
+        fs = AutoencoderKL(ch=args.fs_ch, ch_mult=fs_mult,
+                           num_res_blocks=args.fs_num_res_blocks,
+                           z_channels=args.latent_channels,
+                           embed_dim=args.latent_channels, dtype=dtype)
+        fs_params = convert_vae(sd, fs)
+
+    steps = make_ddim_timesteps("uniform", args.steps, 1000)
+    tables = build_sd_tables(steps, linear_start=args.linear_start,
+                             linear_end=args.linear_end)
+    os.makedirs(args.outdir, exist_ok=True)
+    f = 2 ** (len(fs_mult) - 1)                 # first-stage downsampling
+    rng = jax.random.key(args.seed)
+    for img_path, mask_path in pairs:
+        # make_batch (inpaint.py:11-30): [0,1] image, binarized mask,
+        # masked_image = (1-mask)*image; ALL THREE mapped to [-1,1]
+        img01 = np.asarray(Image.open(img_path).convert("RGB"),
+                           np.float32) / 255.0
+        mask01 = (np.asarray(Image.open(mask_path).convert("L"),
+                             np.float32) / 255.0 >= 0.5).astype(np.float32)
+        masked = (1.0 - mask01)[..., None] * img01
+        h, w = img01.shape[:2]
+
+        c = fs.apply(fs_params, jnp.asarray(masked * 2.0 - 1.0)[None],
+                     method=fs.encode)
+        cc = jnp.asarray(mask01 * 2.0 - 1.0)[None, ::f, ::f, None]
+        cond = jnp.concatenate([c, cc], axis=-1)
+
+        def model_fn(x, t, i, cond=cond):
+            return unet.apply(params, jnp.concatenate(
+                [x, jnp.broadcast_to(cond, x.shape[:1] + cond.shape[1:])],
+                axis=-1), t)
+
+        rng, sub = jax.random.split(rng)
+        z = ddim_sample_loop(model_fn,
+                             (1, h // f, w // f, args.latent_channels),
+                             tables, rng=sub, clip_denoised=False,
+                             var_type=ModelVarType.FIXED_SMALL)
+        pred = fs.apply(fs_params, z, method=fs.decode)
+        pred01 = np.clip((np.asarray(pred[0], np.float32) + 1.0) / 2.0, 0, 1)
+        out01 = (1.0 - mask01)[..., None] * img01 + mask01[..., None] * pred01
+        out_path = os.path.join(args.outdir, os.path.basename(img_path))
+        Image.fromarray((out01 * 255.0 + 0.5).astype(np.uint8)).save(out_path)
+        print(f"inpainted {img_path} -> {out_path}")
+    return 0
+
+
 def cmd_train_classifier(args) -> int:
     """Train the noisy guidance classifier (scripts/classifier_train.py)."""
     import time
@@ -921,6 +1018,18 @@ def main(argv=None) -> int:
         eta=1.0, scale_factor=1.0, n_samples=4, seed=0, out="",
         save_png_dir="", use_bf16=True))
     p.set_defaults(fn=cmd_ldm_sample)
+
+    p = sub.add_parser("inpaint",
+                       help="latent inpainting over image+mask pairs")
+    add_dict_to_argparser(p, dict(
+        ckpt="", indir="", image="", mask="", outdir="inpaint_out",
+        latent_channels=3, first_stage="vq", fs_ch=128, fs_ch_mult="1,2,4",
+        fs_num_res_blocks=2, n_embed=8192, embed_dim=3,
+        num_channels=256, num_res_blocks=2, channel_mult="1,2,3,4",
+        attention_ds="8,4,2", num_head_channels=32,
+        linear_start=0.0015, linear_end=0.0205, steps=50, seed=0,
+        use_bf16=True))
+    p.set_defaults(fn=cmd_inpaint)
 
     p = sub.add_parser("train", help="train/fine-tune a diffusion UNet")
     add_dict_to_argparser(p, dict(

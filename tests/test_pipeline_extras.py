@@ -424,3 +424,73 @@ class TestLDMSampleCLI:
             arr = z["arr_0"]
         assert arr.shape == (2, 16, 16, 3) and arr.dtype == np.uint8
         assert np.isfinite(arr.astype(np.float64)).all()
+
+
+class TestInpaintCLI:
+    def test_inpaint_end_to_end_preserves_unmasked(self, tmp_path):
+        """adt inpaint on a fabricated tiny concat-conditioned LDM ckpt:
+        the composite must keep unmasked pixels bitwise and write the
+        inpainted PNG (inpaint.py make_batch + composite semantics)."""
+        import sys
+        sys.path.insert(0, "/root/reference/examples/Stable Diffusion")
+        import torch
+        from PIL import Image
+        from ldm.modules.diffusionmodules.model import Decoder as TorchDec
+        from ldm.modules.diffusionmodules.model import Encoder as TorchEnc
+        from ldm.modules.diffusionmodules.openaimodel import \
+            UNetModel as LDMUNet
+
+        from autodiffusion_tpu.cli.main import main
+
+        torch.manual_seed(9)
+        # in_channels 7 = 3 latent + 3 masked-image latent + 1 mask
+        tm = LDMUNet(image_size=8, in_channels=7, out_channels=3,
+                     model_channels=32, num_res_blocks=1,
+                     attention_resolutions=(2,), dropout=0.0,
+                     channel_mult=(1, 2), num_classes=None,
+                     use_checkpoint=False, use_fp16=False, num_heads=1,
+                     num_head_channels=32, num_heads_upsample=-1,
+                     use_scale_shift_norm=False, resblock_updown=False,
+                     use_new_attention_order=False,
+                     use_spatial_transformer=False)
+        dd = dict(double_z=False, z_channels=3, resolution=16, in_channels=3,
+                  out_ch=3, ch=32, ch_mult=[1, 2], num_res_blocks=1,
+                  attn_resolutions=[], dropout=0.0)
+        te, td = TorchEnc(**dd), TorchDec(**dd)
+        qc, pqc = torch.nn.Conv2d(3, 3, 1), torch.nn.Conv2d(3, 3, 1)
+        emb = torch.nn.Embedding(16, 3)
+        sd = {f"model.diffusion_model.{k}": v
+              for k, v in tm.state_dict().items()}
+        for pfx, m in (("encoder", te), ("decoder", td), ("quant_conv", qc),
+                       ("post_quant_conv", pqc), ("quantize.embedding", emb)):
+            sd.update({f"first_stage_model.{pfx}.{k}": v
+                       for k, v in m.state_dict().items()})
+        ckpt = str(tmp_path / "inpaint_tiny.pt")
+        torch.save(sd, ckpt)
+
+        rng = np.random.RandomState(3)
+        img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+        mask = np.zeros((16, 16), np.uint8)
+        mask[4:12, 4:12] = 255
+        indir = tmp_path / "in"
+        indir.mkdir()
+        Image.fromarray(img).save(indir / "a.png")
+        Image.fromarray(mask).save(indir / "a_mask.png")
+
+        outdir = str(tmp_path / "out")
+        rc = main(["inpaint", "--ckpt", ckpt, "--indir", str(indir),
+                   "--outdir", outdir, "--latent_channels", "3",
+                   "--first_stage", "vq", "--fs_ch", "32",
+                   "--fs_ch_mult", "1,2", "--fs_num_res_blocks", "1",
+                   "--n_embed", "16", "--embed_dim", "3",
+                   "--num_channels", "32", "--num_res_blocks", "1",
+                   "--channel_mult", "1,2", "--attention_ds", "2",
+                   "--num_head_channels", "32", "--steps", "5",
+                   "--use_bf16", "False"])
+        assert rc == 0
+        out = np.asarray(Image.open(f"{outdir}/a.png"))
+        assert out.shape == (16, 16, 3)
+        keep = mask == 0
+        np.testing.assert_array_equal(out[keep], img[keep])
+        # the masked area must NOT be a straight copy (it was generated)
+        assert not np.array_equal(out[~keep], img[~keep])
