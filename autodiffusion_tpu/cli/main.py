@@ -538,17 +538,36 @@ def cmd_ldm_sample(args) -> int:
     dtype = jnp.bfloat16 if args.use_bf16 else jnp.float32
     mult = tuple(int(m) for m in str(args.channel_mult).split(","))
     attn = tuple(int(d) for d in str(args.attention_ds).split(",") if d)
-    unet = UNetModel(model_channels=args.num_channels,
-                     out_channels=args.latent_channels,
-                     num_res_blocks=args.num_res_blocks,
-                     attention_ds=attn, channel_mult=mult,
-                     num_head_channels=args.num_head_channels,
-                     use_scale_shift_norm=False, resblock_updown=False,
-                     use_new_attention_order=False, dtype=dtype)
     sd = load_torch_state_dict(args.ckpt)
-    usd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
-           if k.startswith("model.diffusion_model.")}
-    params = convert_unet(usd, unet)
+    if args.num_classes:
+        # class-conditional LDM (cin-ldm-vq-f8 / cin256: crossattn UNet
+        # conditioned on a ClassEmbedder token)
+        from ..models import ClassEmbedder, SDUNetModel
+        from ..models.sd_convert import convert_sd_unet
+        unet = SDUNetModel(in_channels=args.latent_channels,
+                           model_channels=args.num_channels,
+                           out_channels=args.latent_channels,
+                           num_res_blocks=args.num_res_blocks,
+                           attention_ds=attn, channel_mult=mult,
+                           num_head_channels=args.num_head_channels,
+                           transformer_depth=1,
+                           context_dim=args.context_dim, dtype=dtype)
+        params = convert_sd_unet(sd, unet)
+        embedder = ClassEmbedder(embed_dim=args.context_dim,
+                                 n_classes=args.num_classes)
+        emb_params = {"params": {"embedding": {
+            "embedding": sd["cond_stage_model.embedding.weight"]}}}
+    else:
+        unet = UNetModel(model_channels=args.num_channels,
+                         out_channels=args.latent_channels,
+                         num_res_blocks=args.num_res_blocks,
+                         attention_ds=attn, channel_mult=mult,
+                         num_head_channels=args.num_head_channels,
+                         use_scale_shift_norm=False, resblock_updown=False,
+                         use_new_attention_order=False, dtype=dtype)
+        usd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
+               if k.startswith("model.diffusion_model.")}
+        params = convert_unet(usd, unet)
 
     fs_mult = tuple(int(m) for m in str(args.fs_ch_mult).split(","))
     if args.first_stage == "vq":
@@ -572,8 +591,17 @@ def cmd_ldm_sample(args) -> int:
     n = args.n_samples
     rng = jax.random.key(args.seed)
     hw = args.latent_size
+    if args.num_classes:
+        y_rng, rng = jax.random.split(rng)
+        y = (jnp.full((n,), args.class_label, jnp.int32)
+             if args.class_label >= 0 else
+             jax.random.randint(y_rng, (n,), 0, args.num_classes))
+        ctx = embedder.apply(emb_params, y)
+        model_fn = lambda x, t, i: unet.apply(params, x, t, ctx)
+    else:
+        model_fn = lambda x, t, i: unet.apply(params, x, t)
     z = ddim_sample_loop(
-        lambda x, t, i: unet.apply(params, x, t),
+        model_fn,
         (n, hw, hw, args.latent_channels), tables, rng=rng,
         eta=args.eta, clip_denoised=False,
         var_type=ModelVarType.FIXED_SMALL)
@@ -1014,6 +1042,7 @@ def main(argv=None) -> int:
         n_embed=8192, embed_dim=3,
         num_channels=224, num_res_blocks=2, channel_mult="1,2,3,4",
         attention_ds="8,4,2", num_head_channels=32,
+        num_classes=0, class_label=-1, context_dim=512,
         linear_start=0.0015, linear_end=0.0195, steps=50, timesteps="",
         eta=1.0, scale_factor=1.0, n_samples=4, seed=0, out="",
         save_png_dir="", use_bf16=True))

@@ -33,6 +33,9 @@ class SDUNetModel(nn.Module):
     attention_ds: Tuple[int, ...] = (1, 2, 4)
     channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
     num_heads: int = 8
+    # >0: per-block heads = ch // num_head_channels (the class-cond LDM
+    # configs, e.g. cin-ldm-vq-f8 num_head_channels 32); -1: num_heads
+    num_head_channels: int = -1
     transformer_depth: int = 1
     context_dim: int = 768
     dropout: float = 0.0
@@ -56,8 +59,10 @@ class SDUNetModel(nn.Module):
 
         def attn(h, name):
             ch = h.shape[-1]
+            heads = (ch // self.num_head_channels
+                     if self.num_head_channels > 0 else self.num_heads)
             return SpatialTransformer(
-                heads=self.num_heads, dim_head=ch // self.num_heads,
+                heads=heads, dim_head=ch // heads,
                 depth=self.transformer_depth, dtype=self.dtype, name=name)(
                 h, context)
 

@@ -494,3 +494,77 @@ class TestInpaintCLI:
         np.testing.assert_array_equal(out[keep], img[keep])
         # the masked area must NOT be a straight copy (it was generated)
         assert not np.array_equal(out[~keep], img[~keep])
+
+
+class TestClassCondLDMSampleCLI:
+    def test_class_cond_ldm_sample(self, tmp_path):
+        """adt ldm-sample --num_classes on a fabricated tiny cin-style
+        ckpt: ClassEmbedder token -> crossattn UNet (num_head_channels
+        semantics) -> VQ decode."""
+        import sys
+        import types
+        sys.path.insert(0, "/root/reference/examples/Stable Diffusion")
+        if "omegaconf" not in sys.modules:   # stub for openaimodel's import
+            om = types.ModuleType("omegaconf")
+            lc = types.ModuleType("omegaconf.listconfig")
+
+            class ListConfig(list):
+                pass
+
+            lc.ListConfig = ListConfig
+            om.listconfig = lc
+            om.ListConfig = ListConfig
+            sys.modules["omegaconf"] = om
+            sys.modules["omegaconf.listconfig"] = lc
+        import torch
+        from ldm.modules.diffusionmodules.model import Decoder as TorchDec
+        from ldm.modules.diffusionmodules.model import Encoder as TorchEnc
+        from ldm.modules.diffusionmodules.openaimodel import \
+            UNetModel as LDMUNet
+
+        from autodiffusion_tpu.cli.main import main
+
+        torch.manual_seed(10)
+        tm = LDMUNet(image_size=8, in_channels=4, out_channels=4,
+                     model_channels=32, num_res_blocks=1,
+                     attention_resolutions=(1, 2), dropout=0.0,
+                     channel_mult=(1, 2), num_classes=None,
+                     use_checkpoint=False, use_fp16=False, num_heads=-1,
+                     num_head_channels=16, num_heads_upsample=-1,
+                     use_scale_shift_norm=False, resblock_updown=False,
+                     use_spatial_transformer=True, transformer_depth=1,
+                     context_dim=16, legacy=False)
+        dd = dict(double_z=False, z_channels=4, resolution=16, in_channels=3,
+                  out_ch=3, ch=32, ch_mult=[1, 2], num_res_blocks=1,
+                  attn_resolutions=[], dropout=0.0)
+        te, td = TorchEnc(**dd), TorchDec(**dd)
+        qc, pqc = torch.nn.Conv2d(4, 4, 1), torch.nn.Conv2d(4, 4, 1)
+        emb = torch.nn.Embedding(16, 4)
+        cls_emb = torch.nn.Embedding(10, 16)   # cond_stage ClassEmbedder
+
+        sd = {f"model.diffusion_model.{k}": v
+              for k, v in tm.state_dict().items()}
+        for pfx, m in (("encoder", te), ("decoder", td), ("quant_conv", qc),
+                       ("post_quant_conv", pqc), ("quantize.embedding", emb)):
+            sd.update({f"first_stage_model.{pfx}.{k}": v
+                       for k, v in m.state_dict().items()})
+        sd.update({f"cond_stage_model.embedding.{k}": v
+                   for k, v in cls_emb.state_dict().items()})
+        ckpt = str(tmp_path / "cin_tiny.pt")
+        torch.save(sd, ckpt)
+
+        out = str(tmp_path / "cin.npz")
+        rc = main(["ldm-sample", "--ckpt", ckpt, "--latent_size", "8",
+                   "--latent_channels", "4", "--first_stage", "vq",
+                   "--fs_ch", "32", "--fs_ch_mult", "1,2",
+                   "--fs_num_res_blocks", "1", "--n_embed", "16",
+                   "--embed_dim", "4", "--num_channels", "32",
+                   "--num_res_blocks", "1", "--channel_mult", "1,2",
+                   "--attention_ds", "1,2", "--num_head_channels", "16",
+                   "--num_classes", "10", "--class_label", "3",
+                   "--context_dim", "16", "--steps", "5", "--n_samples", "2",
+                   "--use_bf16", "False", "--out", out])
+        assert rc == 0
+        with np.load(out) as z:
+            arr = z["arr_0"]
+        assert arr.shape == (2, 16, 16, 3) and arr.dtype == np.uint8

@@ -72,6 +72,40 @@ class TestSDUNetParity:
         np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                    atol=3e-4, rtol=3e-4)
 
+    def test_num_head_channels_variant_matches(self, sd_ref):
+        """The class-cond LDM configs set num_head_channels (heads vary
+        per level, cin-ldm-vq-f8.yaml) instead of num_heads; parity of
+        the per-block heads computation."""
+        import torch
+        from ldm.modules.diffusionmodules.openaimodel import \
+            UNetModel as TorchSDUNet
+        torch.manual_seed(11)
+        tm = TorchSDUNet(
+            image_size=8, in_channels=4, model_channels=32, out_channels=4,
+            num_res_blocks=1, attention_resolutions=(1, 2), dropout=0.0,
+            channel_mult=(1, 2), conv_resample=True, num_heads=-1,
+            num_head_channels=16, use_spatial_transformer=True,
+            transformer_depth=1, context_dim=16, legacy=False,
+            use_fp16=False)
+        tm.eval()
+        fm = SDUNetModel(in_channels=4, model_channels=32, out_channels=4,
+                         num_res_blocks=1, attention_ds=(1, 2),
+                         channel_mult=(1, 2), num_head_channels=16,
+                         transformer_depth=1, context_dim=16)
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = convert_sd_unet(sd, fm, prefix="")
+        rng = np.random.RandomState(12)
+        x = rng.randn(2, 4, 8, 8).astype(np.float32)
+        t = np.array([10.0, 700.0], dtype=np.float32)
+        ctx = rng.randn(2, 3, 16).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x), torch.from_numpy(t),
+                      context=torch.from_numpy(ctx)).numpy()
+        got = fm.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       jnp.asarray(t), jnp.asarray(ctx))
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                   want, atol=3e-4, rtol=3e-4)
+
 
 class TestVAEParity:
     def test_tiny_autoencoder_matches(self, sd_ref):
