@@ -519,6 +519,31 @@ def cmd_img2img(args) -> int:
     return 0
 
 
+def _ldm_first_stage(args, sd, dtype):
+    """Build + convert the LDM first stage (VQ or KL) from CLI flags.
+    fs_attn_ds: downsample ratios with attention (vq-f8 has attention at
+    resolution 32 = ds 8)."""
+    from ..models import AutoencoderKL, VQModelInterface
+    from ..models.sd_convert import convert_vae, convert_vq
+
+    fs_mult = tuple(int(m) for m in str(args.fs_ch_mult).split(","))
+    fs_attn = tuple(int(d) for d in
+                    str(getattr(args, "fs_attn_ds", "")).split(",") if d)
+    if args.first_stage == "vq":
+        fs = VQModelInterface(ch=args.fs_ch, ch_mult=fs_mult,
+                              num_res_blocks=args.fs_num_res_blocks,
+                              attn_at_ds=fs_attn,
+                              z_channels=args.latent_channels,
+                              embed_dim=args.embed_dim, n_embed=args.n_embed,
+                              dtype=dtype)
+        return fs, convert_vq(sd, fs)
+    fs = AutoencoderKL(ch=args.fs_ch, ch_mult=fs_mult,
+                       num_res_blocks=args.fs_num_res_blocks,
+                       attn_at_ds=fs_attn, z_channels=args.latent_channels,
+                       embed_dim=args.latent_channels, dtype=dtype)
+    return fs, convert_vae(sd, fs)
+
+
 def cmd_ldm_sample(args) -> int:
     """Unconditional latent-diffusion sampling — the celebahq/ffhq/
     lsun-churches LDM model zoo (sd/scripts/sample_diffusion.py):
@@ -527,9 +552,8 @@ def cmd_ldm_sample(args) -> int:
     import ast
     import jax
     import jax.numpy as jnp
-    from ..models import AutoencoderKL, UNetModel, VQModelInterface
+    from ..models import UNetModel
     from ..models.convert import convert_unet, load_torch_state_dict
-    from ..models.sd_convert import convert_vae, convert_vq
     from ..samplers import ddim_sample_loop
     from ..samplers.diffusion import ModelVarType
     from ..schedules import build_sd_tables, make_ddim_timesteps
@@ -569,20 +593,8 @@ def cmd_ldm_sample(args) -> int:
                if k.startswith("model.diffusion_model.")}
         params = convert_unet(usd, unet)
 
-    fs_mult = tuple(int(m) for m in str(args.fs_ch_mult).split(","))
-    if args.first_stage == "vq":
-        fs = VQModelInterface(ch=args.fs_ch, ch_mult=fs_mult,
-                              num_res_blocks=args.fs_num_res_blocks,
-                              z_channels=args.latent_channels,
-                              embed_dim=args.embed_dim, n_embed=args.n_embed,
-                              dtype=dtype)
-        fs_params = convert_vq(sd, fs)
-    else:
-        fs = AutoencoderKL(ch=args.fs_ch, ch_mult=fs_mult,
-                           num_res_blocks=args.fs_num_res_blocks,
-                           z_channels=args.latent_channels,
-                           embed_dim=args.latent_channels, dtype=dtype)
-        fs_params = convert_vae(sd, fs)
+    fs, fs_params = _ldm_first_stage(args, sd, dtype)
+    fs_mult = fs.ch_mult
 
     steps = (ast.literal_eval(args.timesteps) if args.timesteps
              else make_ddim_timesteps("uniform", args.steps, 1000))
@@ -628,9 +640,8 @@ def cmd_inpaint(args) -> int:
     import jax
     import jax.numpy as jnp
     from PIL import Image
-    from ..models import AutoencoderKL, UNetModel, VQModelInterface
+    from ..models import UNetModel
     from ..models.convert import convert_unet, load_torch_state_dict
-    from ..models.sd_convert import convert_vae, convert_vq
     from ..samplers import ddim_sample_loop
     from ..samplers.diffusion import ModelVarType
     from ..schedules import build_sd_tables, make_ddim_timesteps
@@ -657,20 +668,8 @@ def cmd_inpaint(args) -> int:
     usd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
            if k.startswith("model.diffusion_model.")}
     params = convert_unet(usd, unet)
-    fs_mult = tuple(int(m) for m in str(args.fs_ch_mult).split(","))
-    if args.first_stage == "vq":
-        fs = VQModelInterface(ch=args.fs_ch, ch_mult=fs_mult,
-                              num_res_blocks=args.fs_num_res_blocks,
-                              z_channels=args.latent_channels,
-                              embed_dim=args.embed_dim, n_embed=args.n_embed,
-                              dtype=dtype)
-        fs_params = convert_vq(sd, fs)
-    else:
-        fs = AutoencoderKL(ch=args.fs_ch, ch_mult=fs_mult,
-                           num_res_blocks=args.fs_num_res_blocks,
-                           z_channels=args.latent_channels,
-                           embed_dim=args.latent_channels, dtype=dtype)
-        fs_params = convert_vae(sd, fs)
+    fs, fs_params = _ldm_first_stage(args, sd, dtype)
+    fs_mult = fs.ch_mult
 
     steps = make_ddim_timesteps("uniform", args.steps, 1000)
     tables = build_sd_tables(steps, linear_start=args.linear_start,
@@ -1038,7 +1037,7 @@ def main(argv=None) -> int:
                        help="unconditional latent-diffusion sampling")
     add_dict_to_argparser(p, dict(
         ckpt="", latent_size=64, latent_channels=3, first_stage="vq",
-        fs_ch=128, fs_ch_mult="1,2,4", fs_num_res_blocks=2,
+        fs_ch=128, fs_ch_mult="1,2,4", fs_num_res_blocks=2, fs_attn_ds="",
         n_embed=8192, embed_dim=3,
         num_channels=224, num_res_blocks=2, channel_mult="1,2,3,4",
         attention_ds="8,4,2", num_head_channels=32,
@@ -1053,7 +1052,7 @@ def main(argv=None) -> int:
     add_dict_to_argparser(p, dict(
         ckpt="", indir="", image="", mask="", outdir="inpaint_out",
         latent_channels=3, first_stage="vq", fs_ch=128, fs_ch_mult="1,2,4",
-        fs_num_res_blocks=2, n_embed=8192, embed_dim=3,
+        fs_num_res_blocks=2, fs_attn_ds="", n_embed=8192, embed_dim=3,
         num_channels=256, num_res_blocks=2, channel_mult="1,2,3,4",
         attention_ds="8,4,2", num_head_channels=32,
         linear_start=0.0015, linear_end=0.0205, steps=50, seed=0,
