@@ -5,13 +5,23 @@ Subcommands covering the reference's entry points (SURVEY.md section 1 L7):
                models (search_imagenet64_classifier_guidance.py /
                search_uncondition_model.py / ..._progressive.py)
   search-sd    Stable Diffusion latent search (sd/scripts/search_ea.py)
-  sample       sample with a searched schedule, save samples npz
+  sample       sample with a searched schedule, save samples npz/PNGs
                (scripts/classifier_sample.py and prunedUNET variants)
-  evaluate     offline FID/IS of a sample npz vs reference stats
+  sr-sample    super-resolution sampling (scripts/super_res_sample.py)
+  txt2img      SD text-to-image (txt2img_fid.py / txt2img.py /
+               txt2img_prompt_mask.py)
+  img2img      SD image-to-image (scripts/img2img.py)
+  ldm-sample   latent-diffusion zoo, uncond + class-cond
+               (scripts/sample_diffusion.py)
+  inpaint      concat-conditioned latent inpainting (scripts/inpaint.py)
+  nll          bits/dim (scripts/image_nll.py)
+  evaluate     offline FID/sFID/IS/P&R of a sample npz vs reference stats
                (evaluations/evaluator.py)
   ref-stats    precompute FID reference statistics from an image npz/folder
-  convert      torch .pt/.ckpt checkpoint -> flax msgpack
+  convert      torch .pt/.ckpt checkpoint -> flax msgpack (incl. --preset sd
+               three-tower split)
   train        train/fine-tune (train_util.py TrainLoop + OFA variants)
+  train-classifier  noisy guidance classifier (scripts/classifier_train.py)
 """
 
 from __future__ import annotations
