@@ -44,13 +44,8 @@ def _params_from(path, model, init_args, convert_fn):
     subcommand accepts both (reference loads torch only,
     dist_util.load_state_dict)."""
     if path.endswith(".msgpack"):
-        import jax
-        from ..utils.checkpoint import load_tree
-        shapes = jax.eval_shape(
-            lambda: model.init(jax.random.key(0), *init_args))
-        template = jax.tree_util.tree_map(
-            lambda s: np.zeros(s.shape, s.dtype), shapes)
-        return load_tree(path, template)
+        from ..utils.checkpoint import load_tree_for_model
+        return load_tree_for_model(path, model, init_args)
     from ..models.convert import load_torch_state_dict
     return convert_fn(load_torch_state_dict(path), model)
 
@@ -303,11 +298,8 @@ def cmd_sr_sample(args) -> int:
         inner = convert_unet(load_torch_state_dict(args.model_path), sr.unet)
         params = {"params": {"unet": inner["params"]}}
     elif args.model_path:
-        from ..utils.checkpoint import load_tree
-        shapes = jax.eval_shape(lambda: sr.init(jax.random.key(0), *init_args))
-        template = jax.tree_util.tree_map(
-            lambda s: np.zeros(s.shape, s.dtype), shapes)
-        params = load_tree(args.model_path, template)
+        from ..utils.checkpoint import load_tree_for_model
+        params = load_tree_for_model(args.model_path, sr, init_args)
     else:
         params = sr.init(jax.random.key(args.seed), *init_args)
     tables = create_tables(cfg)
@@ -604,7 +596,6 @@ def cmd_ldm_sample(args) -> int:
         params = convert_unet(usd, unet)
 
     fs, fs_params = _ldm_first_stage(args, sd, dtype)
-    fs_mult = fs.ch_mult
 
     steps = (ast.literal_eval(args.timesteps) if args.timesteps
              else make_ddim_timesteps("uniform", args.steps, 1000))
@@ -679,13 +670,11 @@ def cmd_inpaint(args) -> int:
            if k.startswith("model.diffusion_model.")}
     params = convert_unet(usd, unet)
     fs, fs_params = _ldm_first_stage(args, sd, dtype)
-    fs_mult = fs.ch_mult
 
     steps = make_ddim_timesteps("uniform", args.steps, 1000)
     tables = build_sd_tables(steps, linear_start=args.linear_start,
                              linear_end=args.linear_end)
     os.makedirs(args.outdir, exist_ok=True)
-    f = 2 ** (len(fs_mult) - 1)                 # first-stage downsampling
     rng = jax.random.key(args.seed)
     for img_path, mask_path in pairs:
         # make_batch (inpaint.py:11-30): [0,1] image, binarized mask,
@@ -699,7 +688,14 @@ def cmd_inpaint(args) -> int:
 
         c = fs.apply(fs_params, jnp.asarray(masked * 2.0 - 1.0)[None],
                      method=fs.encode)
-        cc = jnp.asarray(mask01 * 2.0 - 1.0)[None, ::f, ::f, None]
+        if isinstance(c, tuple):            # KL first stage: (mean, logvar)
+            c = c[0]
+        # latent grid = whatever the encoder produced (its stride-2 convs
+        # ceil non-multiple-of-f sizes); resize the mask to match rather
+        # than assuming h/f x w/f (F.interpolate nearest, inpaint.py:81)
+        lh, lw = c.shape[1:3]
+        cc = jax.image.resize(jnp.asarray(mask01 * 2.0 - 1.0)[None, :, :, None],
+                              (1, lh, lw, 1), method="nearest")
         cond = jnp.concatenate([c, cc], axis=-1)
 
         def model_fn(x, t, i, cond=cond):
@@ -709,11 +705,12 @@ def cmd_inpaint(args) -> int:
 
         rng, sub = jax.random.split(rng)
         z = ddim_sample_loop(model_fn,
-                             (1, h // f, w // f, args.latent_channels),
+                             (1, lh, lw, args.latent_channels),
                              tables, rng=sub, clip_denoised=False,
                              var_type=ModelVarType.FIXED_SMALL)
         pred = fs.apply(fs_params, z, method=fs.decode)
         pred01 = np.clip((np.asarray(pred[0], np.float32) + 1.0) / 2.0, 0, 1)
+        pred01 = pred01[:h, :w]     # decode of a ceil'd grid may overshoot
         out01 = (1.0 - mask01)[..., None] * img01 + mask01[..., None] * pred01
         out_path = os.path.join(args.outdir, os.path.basename(img_path))
         Image.fromarray((out01 * 255.0 + 0.5).astype(np.uint8)).save(out_path)

@@ -269,26 +269,23 @@ def load_sd_params_dir(path: str, *, unet: SDUNetModel, vae,
     vae_params, clip_params) for the given model instances."""
     import os
 
-    import jax
     import jax.numpy as jnp
 
-    from ..utils.checkpoint import load_tree
-
-    def tpl(model, *init_args):
-        shapes = jax.eval_shape(
-            lambda: model.init(jax.random.key(0), *init_args))
-        return jax.tree_util.tree_map(
-            lambda s: np.zeros(s.shape, s.dtype), shapes)
+    from ..utils.checkpoint import load_tree_for_model
 
     ds = 8 * 2 ** (len(unet.channel_mult) - 1)   # full down/up roundtrip
-    u = tpl(unet, jnp.zeros((1, ds, ds, unet.in_channels)),
-            jnp.zeros((1,)), jnp.zeros((1, 2, unet.context_dim)))
-    v = tpl(vae, jnp.zeros((1, 2 ** len(vae.ch_mult) * 2,
-                            2 ** len(vae.ch_mult) * 2, 3)))
-    c = tpl(clip, jnp.zeros((1, clip_config.max_length), jnp.int32))
+    specs = (
+        ("sd_unet", unet, (jnp.zeros((1, ds, ds, unet.in_channels)),
+                           jnp.zeros((1,)),
+                           jnp.zeros((1, 2, unet.context_dim)))),
+        ("sd_vae", vae, (jnp.zeros((1, 2 ** len(vae.ch_mult) * 2,
+                                    2 ** len(vae.ch_mult) * 2, 3)),)),
+        ("sd_clip", clip, (jnp.zeros((1, clip_config.max_length),
+                                     jnp.int32),)),
+    )
     return tuple(
-        load_tree(os.path.join(path, f"{name}.msgpack"), t)
-        for name, t in (("sd_unet", u), ("sd_vae", v), ("sd_clip", c)))
+        load_tree_for_model(os.path.join(path, f"{name}.msgpack"), m, args)
+        for name, m, args in specs)
 
 
 def split_sd_checkpoint(sd: Mapping[str, np.ndarray], *,

@@ -53,9 +53,10 @@ class BatchedFIDFitness:
     """fitness(list of candidates) -> list of FIDs.
 
     candidate_chunk bounds how many candidates share one compiled sampling
-    program (total sampling batch = candidate_chunk * batch_size);
-    num_samples images per candidate are generated in batch_size-sized
-    slices and streamed into running per-candidate moments.
+    program; num_samples images per candidate are generated in
+    device_batch-sized slices (batch_size, possibly split further by the
+    HBM cap below) and streamed into running per-candidate moments, so
+    one dispatch carries candidate_chunk * device_batch samples.
     """
 
     def __init__(self, *, payload_fn: Callable, sample_fn: Callable,
@@ -146,8 +147,10 @@ class BatchedFIDFitness:
         c = len(cands)
         t0 = time.time()
         payloads = [self.payload_fn(x) for x in cands]
-        # stack [C, ...] then expand per-sample to [C*B, ...]: sample j
-        # belongs to candidate j // batch_size
+        # stack [C, ...] then expand per-sample to [C*b, ...] where
+        # b = device_batch (NOT batch_size — the HBM cap may shrink it):
+        # sample j belongs to candidate j // device_batch. sample_fns
+        # must derive the slice size from the payload they receive.
         per_sample = jax.tree_util.tree_map(
             lambda *xs: jnp.repeat(
                 jnp.stack([jnp.asarray(x) for x in xs], axis=0),

@@ -40,6 +40,22 @@ def sd_decode_to_uint8(vae_apply: Callable, vae_params, z: jnp.ndarray) -> jnp.n
     return (x * 255.0 + 0.5).astype(jnp.uint8)
 
 
+def prompt_window(n, candidate_chunk, batch_idx, n_prompts):
+    """Deterministic rolling prompt indices for one fitness dispatch of
+    ``n`` samples over ``candidate_chunk`` folded candidates.
+
+    The per-candidate slice size is derived from the DISPATCHED batch
+    (n // candidate_chunk) — NOT the constructor batch_size: the HBM
+    device-batch cap (fitness.py max_device_batch) may dispatch smaller
+    sub-slices. Every candidate's slice draws the SAME prompts so
+    chunked FIDs stay comparable (reference loader iteration,
+    search_ea.py:516-519), and the window advances by exactly the
+    consumed prompt count so no prompt is skipped across batches."""
+    b = n // candidate_chunk
+    start = (batch_idx * b) % n_prompts
+    return (start + jnp.arange(n) % b) % n_prompts
+
+
 def make_sd_fitness(*, unet, unet_params, vae, vae_params,
                     context_bank: jnp.ndarray, uncond_context: jnp.ndarray,
                     feature_fn: Callable, ref_stats: FIDStats,
@@ -51,7 +67,8 @@ def make_sd_fitness(*, unet, unet_params, vae, vae_params,
                     linear_start: float = 0.00085, linear_end: float = 0.012,
                     dpm_order: int = 2,
                     candidate_chunk: int = 4, seed: int = 0,
-                    feature_dim: int = 2048) -> BatchedFIDFitness:
+                    feature_dim: int = 2048,
+                    max_device_batch: Optional[int] = None) -> BatchedFIDFitness:
     """context_bank: [N, 77, 768] precomputed CLIP embeddings of the eval
     prompts (COCO captions); uncond_context: [77, 768] empty-prompt
     embedding. Candidates: int tuples for ddim/plms, float tuples (K+1
@@ -73,12 +90,8 @@ def make_sd_fitness(*, unet, unet_params, vae, vae_params,
     def sample_fn(static, payload, rng, batch_idx):
         uparams, vparams, bank, uncond = static
         arrs = jax.tree_util.tree_leaves(payload)
-        n = arrs[0].shape[0]               # total batch = chunk * batch_size
-        # deterministic rolling prompt window, like the reference's loader
-        # iteration (search_ea.py:516-519); each candidate's slice draws the
-        # same prompts
-        start = (batch_idx * batch_size) % n_prompts
-        idx = (start + jnp.arange(n) % batch_size) % n_prompts
+        n = arrs[0].shape[0]        # total batch = chunk * per-cand slice
+        idx = prompt_window(n, candidate_chunk, batch_idx, n_prompts)
         ctx = bank[idx]
         shape = (n, latent_hw, latent_hw, latent_ch)
         guided_eps = cfg_eps_fn(
@@ -106,4 +119,5 @@ def make_sd_fitness(*, unet, unet_params, vae, vae_params,
         payload_fn=payload_fn, sample_fn=sample_fn, feature_fn=feature_fn,
         ref_stats=ref_stats, num_samples=num_samples, batch_size=batch_size,
         static_payload=(unet_params, vae_params, context_bank, uncond_context),
-        candidate_chunk=candidate_chunk, seed=seed, feature_dim=feature_dim)
+        candidate_chunk=candidate_chunk, seed=seed, feature_dim=feature_dim,
+        max_device_batch=max_device_batch)

@@ -15,8 +15,8 @@ from typing import Any, Optional, Tuple
 
 import jax
 
-__all__ = ["save_tree", "load_tree", "parse_step_from_filename",
-           "find_latest_checkpoint"]
+__all__ = ["save_tree", "load_tree", "load_tree_for_model",
+           "parse_step_from_filename", "find_latest_checkpoint"]
 
 
 def save_tree(path: str, tree: Any) -> None:
@@ -36,6 +36,18 @@ def load_tree(path: str, target: Any) -> Any:
 
     with open(path, "rb") as f:
         return serialization.from_bytes(target, f.read())
+
+
+def load_tree_for_model(path: str, model, init_args) -> Any:
+    """load_tree with the param template derived from ``model.init`` via
+    eval_shape (host numpy zeros — no device traffic). The one restore
+    path shared by every CLI msgpack branch."""
+    import numpy as np
+
+    shapes = jax.eval_shape(lambda: model.init(jax.random.key(0), *init_args))
+    template = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes)
+    return load_tree(path, template)
 
 
 def parse_step_from_filename(name: str) -> int:

@@ -151,10 +151,11 @@ def bench_sd():
             "value": round(dt * 1e3, 1), "unit": "ms/step"}
 
 
-def bench_sd_fitness(chunk: int = 2, batch: int = 6, K: int = 4):
-    """TRUE SD candidate fitness at the published search config: K-step
+def bench_sd_fitness(chunk: int = 2, batch: int = 6):
+    """TRUE SD candidate fitness at the published search config: 4-step
     PLMS CFG sampling + VAE 512px decode + InceptionV3 + moments +
     Frechet per candidate (sd/scripts/search_ea.py get_cand_fid)."""
+    K = 4
     from autodiffusion_tpu.fid import (FIDInceptionV3, FIDStats,
                                        make_inception_feature_fn)
     from autodiffusion_tpu.models import AutoencoderKL, SDUNetModel

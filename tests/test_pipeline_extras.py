@@ -568,3 +568,28 @@ class TestClassCondLDMSampleCLI:
         with np.load(out) as z:
             arr = z["arr_0"]
         assert arr.shape == (2, 16, 16, 3) and arr.dtype == np.uint8
+
+
+class TestPromptWindow:
+    def test_same_prompts_per_candidate_and_no_skips_under_cap(self):
+        """Regression: with the HBM device-batch cap the dispatched batch
+        is smaller than chunk*batch_size; every candidate's slice must
+        still draw IDENTICAL prompts (comparable FIDs) and consecutive
+        batches must tile the prompt bank without skipping."""
+        from autodiffusion_tpu.search.sd_pipelines import prompt_window
+
+        n_prompts, chunk = 10, 2
+        for b in (2, 3, 5):          # per-candidate slice sizes (capped)
+            n = chunk * b
+            seen = []
+            for batch_idx in range(6):
+                idx = np.asarray(prompt_window(n, chunk, batch_idx,
+                                               n_prompts))
+                per_cand = idx.reshape(chunk, b)
+                # identical prompt subset for every folded candidate
+                for j in range(1, chunk):
+                    np.testing.assert_array_equal(per_cand[0], per_cand[j])
+                seen.extend(per_cand[0].tolist())
+            # rolling window covers the bank contiguously, no skips
+            expect = [(i % n_prompts) for i in range(len(seen))]
+            assert seen == expect, (b, seen)
