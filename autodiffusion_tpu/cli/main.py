@@ -419,7 +419,12 @@ def cmd_txt2img(args) -> int:
     shape = (n, args.H // 8, args.W // 8, 4)
 
     # per-step guidance mask (txt2img_prompt_mask.py ablation: steps with
-    # mask 0 run unconditional-only)
+    # mask 0 run unconditional-only). The reference ablation is PLMS-only;
+    # our ddim path also threads the index, dpm_solver does not.
+    if args.prompt_mask and args.sampler == "dpm_solver":
+        print("--prompt_mask needs a stepwise sampler (plms/ddim); "
+              "the dpm_solver loop has no per-step index")
+        return 1
     pmask = (jnp.asarray(ast.literal_eval(args.prompt_mask), jnp.float32)
              if args.prompt_mask else None)
 

@@ -99,14 +99,9 @@ def dpm_solver_sample_loop(model_fn: Callable, shape,
     def t_at(i):
         return times[..., i]
 
-    def model_value(x, t):
-        """eps -> the solver's model value (x0 under predict_x0)."""
-        t_model = schedule.model_input_time(t)
-        eps = model_fn(x, jnp.broadcast_to(t_model, (shape[0],)))
-        if predict_x0:
-            alpha, sigma = schedule.marginal_alpha(t), schedule.marginal_std(t)
-            return (x - bshape(sigma) * eps) / bshape(alpha)
-        return eps
+    # eps -> the solver's model value (x0 under predict_x0); shared with
+    # the singlestep/adaptive loops
+    model_value = _model_value_fn(model_fn, schedule, shape, predict_x0)
 
     def update(x, i, m_hist, count):
         """Multistep update from times[i] to times[i+1]; m_hist newest-first."""
@@ -514,7 +509,9 @@ def dpm_model_wrapper(raw_model: Callable, schedule: DiscreteNoiseSchedule, *,
     def to_eps(out, x, t_model):
         if model_type == "noise":
             return out
-        t = t_cont_of(t_model[0])
+        # per-sample times: batch-folded candidates give every sample its
+        # own t (fitness.py), so alpha/sigma must be [B], not t_model[0]'s
+        t = t_cont_of(t_model)
         alpha = schedule.marginal_alpha(t)
         sigma = schedule.marginal_std(t)
         if model_type == "x_start":
@@ -537,7 +534,7 @@ def dpm_model_wrapper(raw_model: Callable, schedule: DiscreteNoiseSchedule, *,
         def guided(x, t_model):
             grad = jax.grad(
                 lambda xx: classifier_fn(xx, t_model, condition).sum())(x)
-            sigma = schedule.marginal_std(t_cont_of(t_model[0]))
+            sigma = schedule.marginal_std(t_cont_of(t_model))
             return noise_pred(x, t_model) - guidance_scale * \
                 bshape(sigma, x) * grad
 

@@ -57,7 +57,15 @@ def cfg_eps_fn(apply_fn: Callable, ctx: jnp.ndarray, uncond_ctx: jnp.ndarray,
                        jnp.concatenate([uncond_ctx, ctx], axis=0))
         e_u, e_c = out[:n], out[n:]
         s = guidance_scale
-        if prompt_mask is not None and i is not None:
+        if prompt_mask is not None:
+            if i is None:
+                # fail loud at trace time: a sampler that doesn't thread
+                # the step index (DPM-Solver's continuous-time loops)
+                # would otherwise silently apply FULL guidance at every
+                # step, making the ablation measure nothing
+                raise ValueError(
+                    "prompt_mask requires a sampler that passes the step "
+                    "index (ddim/plms); the dpm_solver loops do not")
             s = s * prompt_mask[i]
         return e_u + s * (e_c - e_u)
 

@@ -122,6 +122,11 @@ class EvolutionSearcher:
     # ---------------- main loop ----------------
 
     def _init_population(self) -> None:
+        # NB: with use_ddim_init_x the initial population is
+        # population_num + 1 candidates (1 seed + N//2+1 random +
+        # N-N//2-1 mutations). That off-by-one is the REFERENCE's exact
+        # arithmetic (search_imagenet64_classifier_guidance.py:535-541)
+        # and is kept for search-trajectory parity.
         taken: set = set()
         if self.use_ddim_init_x:
             seed = self.space.seed(self.use_ddim)
@@ -198,6 +203,14 @@ class EvolutionSearcher:
             "top_50": [repr(c) for c in self.top_50],
             "best_history": self.best_history,
         }
+        # the space's RNG stream and any mutable space state must resume
+        # too, or a seeded resumed run diverges from an uninterrupted one
+        # (and the progressive joint search would reset its widened
+        # skip_layer_range back to (0, 0))
+        if hasattr(self.space, "rng"):
+            state["space_rng"] = repr(self.space.rng.getstate())
+        if hasattr(self.space, "skip_layer_range"):
+            state["skip_layer_range"] = list(self.space.skip_layer_range)
         tmp = self.checkpoint_path + ".tmp"
         os.makedirs(os.path.dirname(os.path.abspath(self.checkpoint_path)),
                     exist_ok=True)
@@ -216,6 +229,11 @@ class EvolutionSearcher:
         self.top_k = [ast.literal_eval(c) for c in state["top_k"]]
         self.top_50 = [ast.literal_eval(c) for c in state["top_50"]]
         self.best_history = state.get("best_history", [])
+        if "space_rng" in state and hasattr(self.space, "rng"):
+            self.space.rng.setstate(ast.literal_eval(state["space_rng"]))
+        if "skip_layer_range" in state and hasattr(self.space,
+                                                   "skip_layer_range"):
+            self.space.skip_layer_range = tuple(state["skip_layer_range"])
         logger.log(f"resumed search at epoch {self.epoch} "
                    f"({len(self.vis_dict)} evaluated candidates)")
 

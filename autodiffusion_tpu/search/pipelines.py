@@ -66,10 +66,19 @@ def make_adm_fitness(*, model, params, image_size: int,
     def sample_fn(static, payload, rng, batch_idx):
         p, cp = static
         tables = payload["tables"]
-        n = tables.betas.shape[0]          # total batch = chunk * batch_size
+        n = tables.betas.shape[0]     # total batch = chunk * per-cand slice
         label_rng, noise_rng = jax.random.split(rng)
-        y = (jax.random.randint(label_rng, (n,), 0, num_classes)
-             if num_classes else None)
+        if num_classes:
+            # every folded candidate's slice draws the SAME class labels
+            # so chunked FIDs stay comparable — the conditioning analog
+            # of sd_pipelines.prompt_window. (The reference's serial loop
+            # gives each candidate independent labels, which only adds
+            # cross-candidate sampling variance at finite num_samples.)
+            b = n // candidate_chunk
+            y = jnp.tile(jax.random.randint(label_rng, (b,), 0, num_classes),
+                         candidate_chunk)
+        else:
+            y = None
 
         def model_fn(x, t, i):
             kw = {}

@@ -179,6 +179,10 @@ class JointSpace:
             ts.append(pool[len(ts)])
             skips.append(skip)
             used += self.layer_num - len(skip)
+            if len(ts) >= len(pool):
+                break   # every train step used (reachable when hi >= 1 -
+                        # 1/layer_num makes min_cost 0, so the budget
+                        # checks below never trigger)
             if self.max_timesteps and len(ts) >= self.max_timesteps:
                 break
             if used + min_cost > self.max_index_number:
@@ -279,4 +283,17 @@ class ContinuousTimeSpace:
 
     def crossover(self, c1, c2):
         child = [a if self.rng.random() < 0.5 else b for a, b in zip(c1, c2)]
+        # a positional mix of two sorted parents duplicates any knot the
+        # parents share; a duplicate knot makes h = lambda_t - lambda_s
+        # exactly 0 in the DPM-Solver update (0/0 NaN at order 3, a
+        # wasted NFE at order 2) — repair with unused grid knots, like
+        # the discrete TimestepSpace does
+        if len(set(child)) < len(child):
+            unused = [g for g in self.grid if g not in child]
+            self.rng.shuffle(unused)
+            seen = set()
+            for i, g in enumerate(child):
+                if g in seen:
+                    child[i] = unused.pop()
+                seen.add(child[i])
         return tuple(sorted(child))

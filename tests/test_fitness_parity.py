@@ -66,15 +66,21 @@ def reference_frechet(feats, ref):
                  - 2 * np.trace(covmean))
 
 
-def replay_rng(chunk_batch, with_labels):
-    """Reproduce the label/noise streams BatchedFIDFitness draws per batch."""
+def replay_rng(chunk_batch, with_labels, label_batch=None):
+    """Reproduce the label/noise streams BatchedFIDFitness draws per batch.
+
+    Labels are drawn once per candidate slice (label_batch) and tiled
+    across the chunk — the fitness gives every folded candidate the SAME
+    labels (pipelines.py sample_fn)."""
     out = []
     base = jax.random.key(SEED)
+    lb = label_batch or chunk_batch
     for b in range(NUM_SAMPLES // BATCH):
         rng = jax.random.fold_in(jax.random.fold_in(base, 0), b)
         label_rng, noise_rng = jax.random.split(rng)
-        y = (np.asarray(jax.random.randint(label_rng, (chunk_batch,), 0,
-                                           NUM_CLASSES))
+        y = (np.tile(np.asarray(jax.random.randint(label_rng, (lb,), 0,
+                                                   NUM_CLASSES)),
+                     chunk_batch // lb)
              if with_labels else None)
         noise = np.asarray(jax.random.normal(
             noise_rng, (chunk_batch, IMG, IMG, 3)))
@@ -184,7 +190,8 @@ class TestFullChainFitnessParity:
             feature_dim=48)
         ours = fitness(cands)
 
-        y_noise_all = replay_rng(len(cands) * BATCH, with_labels=True)
+        y_noise_all = replay_rng(len(cands) * BATCH, with_labels=True,
+                                 label_batch=BATCH)
         for i, cand in enumerate(cands):
             sl = slice(i * BATCH, (i + 1) * BATCH)
             y_noise = [(y[sl], n[sl]) for y, n in y_noise_all]

@@ -248,3 +248,50 @@ class TestEndToEndTinySearch:
         best, fid = s.search()
         assert np.isfinite(fid)
         assert len(best) == 4
+
+
+class TestReviewRegressions:
+    def test_continuous_crossover_repairs_duplicates(self):
+        import random as pyrandom
+        sp = ContinuousTimeSpace.uniform_grid(6, rng=pyrandom.Random(0),
+                                              grid_size=50)
+        # parents sharing knots would duplicate under a positional mix
+        c1 = sp.random()
+        c2 = tuple(sorted(c1[:3] + sp.random()[:3]))
+        for _ in range(50):
+            child = sp.crossover(c1, c2)
+            assert len(set(child)) == len(child), child
+
+    def test_checkpoint_resumes_space_rng_and_skip_range(self, tmp_path):
+        import random as pyrandom
+        from autodiffusion_tpu.search import JointSpace
+
+        def fit(cands):
+            return [float(sum(c[0])) for c in cands]
+
+        path = str(tmp_path / "ea.json")
+        sp = JointSpace(100, 4, 16, (0.0, 0.0), rng=pyrandom.Random(7))
+        s = EvolutionSearcher(sp, fit, population_num=4, select_num=2,
+                              mutation_num=1, crossover_num=1, max_epochs=1,
+                              checkpoint_path=path)
+        s.search()
+        sp.skip_layer_range = (0.1, 0.3)       # progressive widening state
+        s._save()
+        state_after = sp.rng.getstate()
+
+        sp2 = JointSpace(100, 4, 16, (0.0, 0.0), rng=pyrandom.Random(7))
+        s2 = EvolutionSearcher(sp2, fit, population_num=4, select_num=2,
+                               mutation_num=1, crossover_num=1, max_epochs=1,
+                               checkpoint_path=path)
+        s2.load()
+        assert sp2.rng.getstate() == state_after
+        assert sp2.skip_layer_range == (0.1, 0.3)
+        # resumed stream continues identically with an uninterrupted one
+        assert sp2.random() == sp.random()
+
+    def test_joint_space_terminates_at_full_skip_range(self):
+        import random as pyrandom
+        from autodiffusion_tpu.search import JointSpace
+        sp = JointSpace(50, 4, 10, (1.0, 1.0), rng=pyrandom.Random(0))
+        ts, skips = sp.random()     # min_cost == 0: must still terminate
+        assert len(ts) <= 50
