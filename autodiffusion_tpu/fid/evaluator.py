@@ -72,14 +72,14 @@ class FIDEvaluator:
                 return x[:bs - pad] if pad else x
 
             pools.append(take(out["pool3"]))
-            if want_softmax:
+            if want_softmax and "logits" in out:
                 smx.append(take(jax.nn.softmax(out["logits"], axis=-1)))
             if want_spatial and "spatial" in out:
                 s = out["spatial"]
                 spat.append(take(s.reshape(s.shape[0], -1)))
         pool3 = np.concatenate(pools)
         return (pool3,
-                np.concatenate(smx) if want_softmax else None,
+                np.concatenate(smx) if smx else None,
                 np.concatenate(spat) if spat else None)
 
     def cal_fid(self, arr_uint8: np.ndarray) -> float:
@@ -98,8 +98,9 @@ class FIDEvaluator:
             arr_uint8, want_softmax=True, want_spatial=want_spatial)
         out = {
             "fid": frechet_distance(FIDStats.from_features(pool3), self.ref_stats),
-            "inception_score": inception_score(sm),
         }
+        if sm is not None:      # IS needs a 'logits' head; pool3-only
+            out["inception_score"] = inception_score(sm)   # stubs skip it
         if want_spatial and spatial is not None:
             out["sfid"] = frechet_distance(FIDStats.from_features(spatial),
                                            self.ref_stats_spatial)

@@ -187,11 +187,18 @@ class FIDInceptionV3(nn.Module):
 
 def preprocess(images_uint8: jnp.ndarray, size: int = 299) -> jnp.ndarray:
     """uint8 NHWC [0,255] -> float32 [-1,1] resized to 299 (bilinear,
-    half-pixel centers — torch interpolate align_corners=False semantics)."""
+    half-pixel centers — torch interpolate align_corners=False semantics).
+
+    antialias=False is load-bearing: pytorch_fid's F.interpolate does NOT
+    antialias, and jax.image.resize defaults to antialias=True on
+    downsampling — for 512px SD outputs that diverges by up to ~0.5 on
+    the [0,1] scale (vs ~3e-6 without), which would silently shift every
+    SD FID away from the reference implementation."""
     x = images_uint8.astype(jnp.float32) / 255.0
     b, h, w, c = x.shape
     if (h, w) != (size, size):
-        x = jax.image.resize(x, (b, size, size, c), method="bilinear")
+        x = jax.image.resize(x, (b, size, size, c), method="bilinear",
+                             antialias=False)
     return x * 2.0 - 1.0
 
 

@@ -178,8 +178,22 @@ def build_sd_tables(use_timesteps: Iterable[int], *,
     # generic derivation; then overwrite the cumulative-product fields with
     # the exact CompVis arrays
     betas_k = 1.0 - a / a_prev
-    d = _derive(betas_k)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = _derive(betas_k)
+    # The posterior fields must come from the EXACT CompVis (a, a_prev)
+    # arrays: when the subset contains step 0 the alphas_prev quirk makes
+    # betas_k[0] == 0, so _derive's internal cumprod puts abar[0] at 1.0
+    # and its posterior fields become 0/0 NaN (and plvc -inf) — routine
+    # for EA candidates drawn from range(0, 1000).
+    pv = betas_k * (1.0 - a_prev) / (1.0 - a)
+    plvc = (np.log(np.append(pv[1], pv[1:])) if len(betas_k) > 1
+            else np.log(np.maximum(pv, 1e-20)))
     d.update(
+        posterior_variance=pv,
+        posterior_log_variance_clipped=plvc,
+        posterior_mean_coef1=betas_k * np.sqrt(a_prev) / (1.0 - a),
+        posterior_mean_coef2=((1.0 - a_prev) * np.sqrt(1.0 - betas_k)
+                              / (1.0 - a)),
         alphas_cumprod=a,
         alphas_cumprod_prev=a_prev,
         alphas_cumprod_next=np.append(a[1:], 0.0),

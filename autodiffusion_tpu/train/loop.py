@@ -132,7 +132,7 @@ class TrainLoop:
             if max_steps is not None and self.step >= max_steps:
                 break
             self.run_step(next(self.data))
-            if self.step % self.log_interval == 0:
+            if self.log_interval and self.step % self.log_interval == 0:
                 logger.dumpkvs()
             if self.save_interval and self.step and \
                     self.step % self.save_interval == 0:

@@ -157,7 +157,6 @@ def calc_bpd_loop(tables: ScheduleTables, model_fn, x_start, rng, *,
         vb, pred_x0 = vb_terms_bpd(tables, model_out, x_start, x_t, t,
                                    mean_type=mean_type, var_type=var_type,
                                    clip_denoised=clip_denoised)
-        out, _ = _split_model_output_for_eps(model_out, x_t, var_type)
         eps = _predict_eps(tables, x_t, t, pred_x0)
         return carry, (vb, mean_flat((pred_x0 - x_start) ** 2),
                        mean_flat((eps - noise) ** 2))
@@ -172,11 +171,6 @@ def calc_bpd_loop(tables: ScheduleTables, model_fn, x_start, rng, *,
         "xstart_mse": xstart_mse,
         "mse": mse,
     }
-
-
-def _split_model_output_for_eps(model_out, x, var_type):
-    from ..samplers.diffusion import _split_model_output
-    return _split_model_output(model_out, x, var_type)
 
 
 def _predict_eps(tables, x_t, t, pred_x0):

@@ -222,9 +222,13 @@ def paired_models(tmp_path_factory):
 
 
 class TestInceptionParity:
-    @pytest.mark.parametrize("in_size", [64, 256, 299])
+    @pytest.mark.parametrize("in_size", [64, 256, 299, 512])
     def test_forward_matches_torch_mirror(self, paired_models, in_size):
-        """uint8 batch -> resize-to-299 preprocess -> all three heads agree."""
+        """uint8 batch -> resize-to-299 preprocess -> all three heads agree.
+
+        512 covers the DOWNSAMPLING path (SD outputs): pytorch_fid's
+        F.interpolate does not antialias, so preprocess must pass
+        antialias=False or features diverge by ~0.5 in pixel space."""
         fparams, tmodel = paired_models
         rng = np.random.RandomState(in_size)
         imgs = rng.randint(0, 256, (2, in_size, in_size, 3), dtype=np.uint8)

@@ -183,3 +183,25 @@ class TestDdimTimestepsSD:
         np.testing.assert_array_equal(
             make_ddim_timesteps(method, n, 1000),
             ref_fn(method, n, 1000, verbose=False))
+
+
+class TestSDTablesStepZero:
+    def test_subset_containing_step_zero_is_nan_free(self):
+        """Regression: the CompVis alphas_prev quirk makes beta[0] == 0
+        when step 0 is in the subset; the posterior fields must come from
+        the exact (a, a_prev) arrays, not _derive's internal cumprod
+        (which hit 0/0). EA candidates routinely contain step 0."""
+        import numpy as np
+
+        from autodiffusion_tpu.schedules import build_sd_tables
+
+        t = build_sd_tables([0, 100, 400, 700])
+        for field in ("posterior_variance", "posterior_mean_coef1",
+                      "posterior_mean_coef2",
+                      "posterior_log_variance_clipped"):
+            arr = np.asarray(getattr(t, field))
+            assert np.isfinite(arr).all(), (field, arr)
+        assert float(t.posterior_variance[0]) == 0.0
+        # non-zero-step subsets keep their previous (already finite) values
+        t2 = build_sd_tables([100, 400, 700])
+        assert np.isfinite(np.asarray(t2.posterior_mean_coef1)).all()
