@@ -33,10 +33,14 @@ class CrossAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     def _flash_enabled(self, tq: int, ts: int) -> bool:
+        # the Pallas kernel lowers only on TPU — an explicit use_flash=True
+        # on CPU/GPU would crash in Mosaic, so the backend gate applies to
+        # both modes (the fused-norm path guards the same way, nn.py)
+        if jax.default_backend() != "tpu" or self.dim_head > 128:
+            return False
         if self.use_flash == "auto":
-            return (jax.default_backend() == "tpu" and self.dim_head <= 128
-                    and tq >= 1024 and ts >= 512)
-        return bool(self.use_flash) and self.dim_head <= 128
+            return tq >= 1024 and ts >= 512
+        return bool(self.use_flash)
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -58,7 +62,11 @@ class CrossAttention(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
         else:
             scale = self.dim_head ** -0.5
-            logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) * scale
+            # accumulate logits in f32 (preferred_element_type) — rounding
+            # the bf16 einsum result before the cast would diverge from
+            # the flash kernel's f32 logits at the auto-switch point
+            logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                                preferred_element_type=jnp.float32) * scale
             weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
             out = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(b, tq, inner)
         return nn.DenseGeneral(x.shape[-1], dtype=self.dtype, name="to_out")(out)

@@ -179,6 +179,11 @@ class ClipBPETokenizer:
             lines = f.read().split("\n")
         merges = [tuple(l.split()) for l in lines
                   if l and not l.startswith("#") and len(l.split()) == 2]
+        # CLIP uses only the first 49152-256-2 merges of the (longer)
+        # bpe_simple_vocab_16e6 file (simple_tokenizer: merges[1:49152-256-2+1]);
+        # keeping the tail would let out-of-vocab merges win, whose tokens
+        # the encoder lacks — prompts would silently drop tokens
+        merges = merges[: 49152 - 256 - 2]
         return cls(encoder, merges, max_length)
 
     def _bpe(self, token: str) -> str:
@@ -208,17 +213,9 @@ class ClipBPETokenizer:
 
     def encode_text(self, text: str) -> List[int]:
         import re
-        # CLIP's pre-tokenizer pattern (simple_tokenizer.py): letters group
-        # ([\p{L}]+ -> [^\W\d_]+), digits split ONE AT A TIME ([\p{N}] -> \d),
-        # punctuation runs grouped including underscore
-        # ([^\s\p{L}\p{N}]+ -> (?:[^\s\w]|_)+). The distinction matters:
-        # "photo4k" must tokenize as photo|4|k, not as one word.
-        pat = re.compile(
-            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-            r"""[^\W\d_]+|\d|(?:[^\s\w]|_)+""", re.IGNORECASE)
         text = " ".join(text.lower().strip().split())
         ids: List[int] = []
-        for tok in re.findall(pat, text):
+        for tok in re.findall(_CLIP_PRE_TOKEN_PAT, text):
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(tok).split(" ")
                        if t in self.encoder)
@@ -230,6 +227,18 @@ class ClipBPETokenizer:
             ids = [self.sot] + self.encode_text(text)[: self.max_length - 2] + [self.eot]
             out[i, : len(ids)] = ids
         return out
+
+
+# CLIP's pre-tokenizer pattern (simple_tokenizer.py), compiled once:
+# letters group ([\p{L}]+ -> [^\W\d_]+), digits split ONE AT A TIME
+# ([\p{N}] -> \d), punctuation runs grouped including underscore
+# ([^\s\p{L}\p{N}]+ -> (?:[^\s\w]|_)+). The distinction matters:
+# "photo4k" must tokenize as photo|4|k, not as one word.
+import re as _re  # noqa: E402
+
+_CLIP_PRE_TOKEN_PAT = _re.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+    r"""[^\W\d_]+|\d|(?:[^\s\w]|_)+""", _re.IGNORECASE)
 
 
 def _bytes_to_unicode() -> Dict[int, str]:

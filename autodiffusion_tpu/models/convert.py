@@ -49,8 +49,11 @@ def _dense_from_conv1d(sd, p):
     return {"kernel": w[..., 0].T, "bias": _np(sd, p + ".bias")}
 
 
-def _dense(sd, p):
-    return {"kernel": _np(sd, p + ".weight").T, "bias": _np(sd, p + ".bias")}
+def _dense(sd, p, bias=True):
+    out = {"kernel": _np(sd, p + ".weight").T}
+    if bias:
+        out["bias"] = _np(sd, p + ".bias")
+    return out
 
 
 def _gn(sd, p):
@@ -196,6 +199,15 @@ def convert_classifier(sd: Mapping[str, np.ndarray], model: EncoderUNetModel) ->
     elif model.pool == "adaptive":
         params["out_norm"] = _gn(sd, "out.0")
         params["out_conv"] = _conv(sd, "out.3")
+    elif model.pool == "spatial":
+        # Sequential(Linear(feat, 2048), ReLU, Linear(2048, out)) (unet.py:843-848)
+        params["out_fc0"] = _dense(sd, "out.0")
+        params["out_fc1"] = _dense(sd, "out.2")
+    elif model.pool == "spatial_v2":
+        # Sequential(Linear, GroupNorm32(2048), SiLU, Linear) (unet.py:849-855)
+        params["out_fc0"] = _dense(sd, "out.0")
+        params["out_norm"] = _gn(sd, "out.1")
+        params["out_fc1"] = _dense(sd, "out.3")
     else:
         raise NotImplementedError(model.pool)
     return {"params": params}

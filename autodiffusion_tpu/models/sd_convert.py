@@ -22,45 +22,13 @@ __all__ = ["convert_sd_unet", "convert_vae", "convert_vq",
            "load_sd_params_dir"]
 
 
-def _np(sd, k):
-    v = sd[k]
-    return v if isinstance(v, np.ndarray) else v.detach().cpu().float().numpy()
-
-
-def _conv(sd, p):
-    out = {"kernel": _np(sd, p + ".weight").transpose(2, 3, 1, 0)}
-    if p + ".bias" in sd:
-        out["bias"] = _np(sd, p + ".bias")
-    return out
-
-
-def _dense(sd, p, bias=True):
-    out = {"kernel": _np(sd, p + ".weight").T}
-    if bias:
-        out["bias"] = _np(sd, p + ".bias")
-    return out
-
-
-def _gn(sd, p):
-    return {"GroupNorm_0": {"scale": _np(sd, p + ".weight"),
-                            "bias": _np(sd, p + ".bias")}}
+# torch->flax layout helpers shared with the ADM converter — one
+# implementation so layout fixes cannot drift between the two trees
+from .convert import _conv, _dense, _gn, _np, _resblock  # noqa: F401
 
 
 def _ln(sd, p):
     return {"scale": _np(sd, p + ".weight"), "bias": _np(sd, p + ".bias")}
-
-
-def _resblock(sd, p, has_skip):
-    out = {
-        "in_norm": _gn(sd, p + ".in_layers.0"),
-        "in_conv": _conv(sd, p + ".in_layers.2"),
-        "emb_proj": _dense(sd, p + ".emb_layers.1"),
-        "out_norm": _gn(sd, p + ".out_layers.0"),
-        "out_conv": _conv(sd, p + ".out_layers.3"),
-    }
-    if has_skip:
-        out["skip"] = _conv(sd, p + ".skip_connection")
-    return out
 
 
 def _xattn(sd, p):

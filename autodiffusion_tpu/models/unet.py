@@ -32,14 +32,22 @@ from .nn import Downsample, GroupNorm32, Upsample, timestep_embedding, zero_init
 Dtype = Any
 
 
-def _keep_factor(keep_mask, layer_id: int, structural_skip, dtype) -> Optional[jnp.ndarray]:
-    """None = statically kept; 0.0 array = statically skipped; else dynamic.
+# trace-time sentinel: the block's residual branch is NOT built at all —
+# a float multiply-by-zero would keep the convs/attention in the compiled
+# program (XLA only folds x*0 for integral types), defeating the
+# deployment speedup structural_skip exists for
+STRUCTURAL_SKIP = object()
+
+
+def _keep_factor(keep_mask, layer_id: int, structural_skip, dtype):
+    """None = statically kept; STRUCTURAL_SKIP = removed at trace time;
+    else a dynamic 0/1 factor.
 
     keep_mask may be [layer_num] (one architecture for the whole batch) or
     [B, layer_num] (per-sample architectures — used when candidates are
     folded into the batch axis for search)."""
     if structural_skip is not None and layer_id in structural_skip:
-        return jnp.zeros((), dtype=dtype)
+        return STRUCTURAL_SKIP
     if keep_mask is None:
         return None
     if keep_mask.ndim == 2:
@@ -47,9 +55,11 @@ def _keep_factor(keep_mask, layer_id: int, structural_skip, dtype) -> Optional[j
     return keep_mask[layer_id].astype(dtype)          # scalar
 
 
-def _apply_keep(h: jnp.ndarray, keep: Optional[jnp.ndarray]) -> jnp.ndarray:
+def _apply_keep(h: jnp.ndarray, keep) -> jnp.ndarray:
     if keep is None:
         return h
+    assert keep is not STRUCTURAL_SKIP, \
+        "structurally skipped blocks must early-return before _apply_keep"
     return h * keep.reshape(keep.shape + (1,) * (h.ndim - keep.ndim))
 
 
@@ -77,6 +87,23 @@ class ResBlock(nn.Module):
     def __call__(self, x, emb, *, keep=None, deterministic: bool = True):
         c_in = x.shape[-1]
         c_out = self.out_channels or c_in
+
+        if keep is STRUCTURAL_SKIP:
+            # true removal: only the skip path runs (keeping the up/down
+            # resample and channel projection, the exact semantics of a
+            # skipped dynamic block, dynamic_unet.py:245-249); the
+            # residual branch's ops never enter the compiled program
+            if self.up:
+                x = Upsample(use_conv=False, dtype=self.dtype, name="x_upd")(x)
+            elif self.down:
+                x = Downsample(use_conv=False, dtype=self.dtype,
+                               name="x_upd")(x)
+            if c_out == c_in:
+                return x
+            if self.use_conv_skip:
+                return nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype,
+                               name="skip")(x)
+            return nn.Conv(c_out, (1, 1), dtype=self.dtype, name="skip")(x)
 
         h = GroupNorm32(use_fused=self.fused_norm, name="in_norm")(x, act="silu")
         if self.up:
@@ -134,6 +161,8 @@ class AttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, keep=None):
+        if keep is STRUCTURAL_SKIP:
+            return x          # skipped attention is identity (dynamic_unet.py:316-318)
         b, hgt, wid, c = x.shape
         if self.num_head_channels == -1:
             heads = self.num_heads
@@ -142,13 +171,14 @@ class AttentionBlock(nn.Module):
             heads = c // self.num_head_channels
         hd = c // heads
         tokens = hgt * wid
-        if self.use_flash == "auto":
+        if jax.default_backend() != "tpu" or hd > 128:
+            flash = False      # Pallas kernel lowers only on TPU
+        elif self.use_flash == "auto":
             import os
             min_tokens = int(os.environ.get("ADT_FLASH_MIN_TOKENS", "1024"))
-            flash = (jax.default_backend() == "tpu" and hd <= 128
-                     and tokens >= min_tokens)
+            flash = tokens >= min_tokens
         else:
-            flash = bool(self.use_flash) and hd <= 128
+            flash = bool(self.use_flash)
 
         xf = x.reshape(b, hgt * wid, c)
         qkv = nn.DenseGeneral(3 * c, dtype=self.dtype, name="qkv")(
@@ -426,8 +456,18 @@ class EncoderUNetModel(nn.Module):
 
         x = x.astype(self.dtype)
         ch = int(self.channel_mult[0] * self.model_channels)
-        h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(x)
         results = []
+
+        def pool_point(h):
+            # reference pools after EVERY input_blocks module — conv_in,
+            # each ResBlock(+Attention) pair, each downsample — and the
+            # middle block, cast back to the input dtype before the mean
+            # (unet.py:880-891)
+            if self.pool.startswith("spatial"):
+                results.append(h.astype(jnp.float32).mean(axis=(1, 2)))
+
+        h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(x)
+        pool_point(h)
         ds = 1
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
@@ -443,6 +483,7 @@ class EncoderUNetModel(nn.Module):
                                        new_order=self.use_new_attention_order,
                                        dtype=self.dtype,
                                        name=f"down_{level}_{i}_attn")(h)
+                pool_point(h)
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
                     h = ResBlock(out_channels=ch, dropout=self.dropout,
@@ -454,9 +495,8 @@ class EncoderUNetModel(nn.Module):
                 else:
                     h = Downsample(out_channels=ch, use_conv=self.conv_resample,
                                    dtype=self.dtype, name=f"down_{level}_ds")(h)
+                pool_point(h)
                 ds *= 2
-            if self.pool.startswith("spatial"):
-                results.append(h.mean(axis=(1, 2)))
 
         h = ResBlock(out_channels=ch, dropout=self.dropout,
                      fused_norm=self.fused_norm,
@@ -486,7 +526,7 @@ class EncoderUNetModel(nn.Module):
             return AttentionPool2d(num_heads=heads, output_dim=self.out_channels,
                                    dtype=self.dtype, name="out_pool")(h).astype(jnp.float32)
         if self.pool.startswith("spatial"):
-            results.append(h.mean(axis=(1, 2)))
+            results.append(h.astype(jnp.float32).mean(axis=(1, 2)))
             h = jnp.concatenate(results, axis=-1).astype(jnp.float32)
             h = nn.Dense(2048, name="out_fc0")(h)
             if self.pool == "spatial_v2":

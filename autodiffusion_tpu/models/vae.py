@@ -86,7 +86,12 @@ class VAEUpsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # broadcast+reshape 2x nearest: identical values to
+        # jax.image.resize(method="nearest") but lowers to a copy, not a
+        # gather (4.3x faster on v5e, BENCH_NOTES.md) — this runs on the
+        # decoder's largest activations at 512px
+        x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (b, h, 2, w, 2, c)).reshape(b, 2 * h, 2 * w, c)
         return nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 

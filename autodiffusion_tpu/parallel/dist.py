@@ -24,9 +24,12 @@ def setup_dist(coordinator_address: Optional[str] = None,
     """Initialize multi-host JAX. Single-process (the search drivers'
     default, search_imagenet64_classifier_guidance.py:624-627) is a no-op."""
     global _INITIALIZED
-    if _INITIALIZED or jax.process_count() > 1:
-        _INITIALIZED = True
+    if _INITIALIZED:
         return
+    # NB: do NOT touch jax.process_count() (or any other jax API) before
+    # initialize — it initializes the XLA backend, after which
+    # jax.distributed.initialize always raises ("must be called before
+    # any JAX calls that might initialise the XLA backend")
     if coordinator_address is not None:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,

@@ -51,9 +51,12 @@ def replicate(mesh: Mesh, tree):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch with the leading axis split over 'data'."""
+    """Place a host batch with the leading axis split over 'data'
+    (scalar leaves replicate — a rank-0 array has no batch axis)."""
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch)
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P()) if np.ndim(x) == 0
+            else data_sharding(mesh, np.ndim(x))), batch)
 
 
 def data_sharder(mesh: Mesh):

@@ -58,6 +58,23 @@ class TestStructuralSkip:
         b = m.apply(params, x, t, structural_skip=skip)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_structural_skip_removes_compute(self):
+        """structural_skip must DELETE the skipped blocks from the
+        compiled program, not multiply them by zero (XLA keeps float x*0
+        branches): the compiled FLOP count must drop."""
+        m, params = _tiny()
+        x = jax.random.normal(jax.random.key(1), (2, 16, 16, 3))
+        t = jnp.array([100.0, 500.0])
+
+        def flops(**kw):
+            c = jax.jit(lambda p, xx, tt: m.apply(p, xx, tt, **kw)).lower(
+                params, x, t).compile()
+            return c.cost_analysis().get("flops", 0.0)
+
+        full = flops()
+        pruned = flops(structural_skip=frozenset(range(m.layer_num)))
+        assert pruned < 0.7 * full, (pruned, full)
+
     def test_per_sample_masks_match_per_batch(self):
         """[B, L] per-sample masks (search batch-folding) == applying each
         row's [L] mask separately."""

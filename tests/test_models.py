@@ -212,3 +212,36 @@ class TestTorchParity:
             ref = tm(torch.from_numpy(x), torch.from_numpy(t)).numpy()
         ours = fm.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
         np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=2e-4)
+
+    @pytest.mark.parametrize("pool", ["spatial", "spatial_v2"])
+    def test_spatial_pool_classifier_matches(self, reference_gd, pool):
+        """Spatial pooling appends one feature per input_blocks MODULE
+        (conv_in, each res(+attn) pair, each downsample) plus the middle
+        block (unet.py:880-891) — per-level pooling has the wrong
+        concatenated width."""
+        import torch
+        from guided_diffusion.unet import EncoderUNetModel as TorchEnc
+
+        from autodiffusion_tpu.models import EncoderUNetModel
+        torch.manual_seed(5)
+        tm = TorchEnc(image_size=16, in_channels=3, model_channels=32,
+                      out_channels=10, num_res_blocks=1,
+                      attention_resolutions=(2,), channel_mult=(1, 2),
+                      use_fp16=False, num_head_channels=32,
+                      use_scale_shift_norm=True, resblock_updown=True,
+                      pool=pool)
+        tm.eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        fm = EncoderUNetModel(model_channels=32, out_channels=10,
+                              num_res_blocks=1, attention_ds=(2,),
+                              channel_mult=(1, 2), num_head_channels=32,
+                              use_scale_shift_norm=True, resblock_updown=True,
+                              use_new_attention_order=False, pool=pool)
+        params = convert_classifier(sd, fm)
+        x = np.random.RandomState(6).randn(2, 3, 16, 16).astype(np.float32)
+        t = np.array([55.0, 444.0], dtype=np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+        ours = fm.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                        jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=2e-4)
