@@ -193,7 +193,8 @@ def cmd_sample(args) -> int:
         use_scale_shift_norm=args.use_scale_shift_norm,
         resblock_updown=args.resblock_updown,
         use_new_attention_order=args.use_new_attention_order,
-        use_bf16=args.use_bf16)
+        use_bf16=args.use_bf16,
+        timestep_respacing=args.timestep_respacing)
     model = create_model(cfg)
     params = _params_from(args.model_path, model, _adm_init_args(cfg),
                           convert_unet)
@@ -284,6 +285,7 @@ def cmd_sr_sample(args) -> int:
                          small_size=args.small_size)
     with np.load(args.base_samples) as z:
         low = z[z.files[0]]
+        labels = z["arr_1"] if "arr_1" in z.files else None
     low = jnp.asarray(low[: args.num_samples], jnp.float32) / 127.5 - 1.0
     n = low.shape[0]
     x1 = jnp.zeros((1, args.large_size, args.large_size, 3))
@@ -303,7 +305,12 @@ def cmd_sr_sample(args) -> int:
     else:
         params = sr.init(jax.random.key(args.seed), *init_args)
     tables = create_tables(cfg)
-    y = (jnp.zeros((n,), jnp.int32) if cfg.class_cond else None)
+    # condition on the base samples' labels (arr_1, the reference
+    # super_res_sample.py contract); fall back to class 0 when absent
+    y = None
+    if cfg.class_cond:
+        y = (jnp.asarray(labels[:n], jnp.int32) if labels is not None
+             else jnp.zeros((n,), jnp.int32))
 
     def model_fn(x, t, i):
         a = [x, t, low]
@@ -402,8 +409,9 @@ def cmd_txt2img(args) -> int:
     import jax
     import jax.numpy as jnp
     from ..models.vae import SD_SCALE_FACTOR
-    from ..samplers import (DiscreteNoiseSchedule, ddim_sample_loop,
-                            dpm_solver_sample_loop, plms_sample_loop)
+    from ..samplers import (DiscreteNoiseSchedule, cfg_eps_fn,
+                            ddim_sample_loop, dpm_solver_sample_loop,
+                            plms_sample_loop)
     from ..samplers.diffusion import ModelVarType
     from ..schedules import build_sd_tables, make_beta_schedule
     from ..search.sd_pipelines import sd_decode_to_uint8
@@ -413,10 +421,12 @@ def cmd_txt2img(args) -> int:
     if args.from_file:
         with open(args.from_file) as f:
             prompts = [l.strip() for l in f if l.strip()]
-    ctx = clip.apply(cparams, jnp.asarray(tok(prompts)))
-    uc = clip.apply(cparams, jnp.asarray(tok([""] * len(prompts))))
-    n = len(prompts)
-    shape = (n, args.H // 8, args.W // 8, 4)
+    # one empty-prompt uncond row (cfg_eps_fn broadcasts it) and
+    # n_samples-sized sampling batches — a 30K-caption --from_file must
+    # not become one giant CFG batch (the reference iterates the loader
+    # in batches, txt2img_fid.py)
+    uc = clip.apply(cparams, jnp.asarray(tok([""])))[0]
+    bsz = max(1, args.n_samples)
 
     # per-step guidance mask (txt2img_prompt_mask.py ablation: steps with
     # mask 0 run unconditional-only). The reference ablation is PLMS-only;
@@ -428,10 +438,6 @@ def cmd_txt2img(args) -> int:
     pmask = (jnp.asarray(ast.literal_eval(args.prompt_mask), jnp.float32)
              if args.prompt_mask else None)
 
-    guided = cfg_eps_fn(lambda x2, t2, c2: unet.apply(uparams, x2, t2, c2),
-                        ctx, uc, args.scale, prompt_mask=pmask)
-
-    rng = jax.random.key(args.seed)
     if args.timesteps:
         steps = ast.literal_eval(args.timesteps)
     else:
@@ -441,25 +447,41 @@ def cmd_txt2img(args) -> int:
         sched = DiscreteNoiseSchedule.from_betas(betas)
         times = (jnp.asarray(sorted(steps, reverse=True), jnp.float32)
                  if steps else jnp.linspace(1.0, 1e-3, args.steps + 1))
-        z = dpm_solver_sample_loop(guided, shape, sched, times, rng=rng)
+        tables = None
     else:
         from ..schedules import make_ddim_timesteps
         use = steps if steps else make_ddim_timesteps("uniform", args.steps, 1000)
         tables = build_sd_tables(use)
-        loop = plms_sample_loop if args.sampler == "plms" else None
-        if loop:
-            z = loop(lambda x, t, i: guided(x, t, i), shape, tables, rng=rng)
+
+    all_imgs = []
+    rng = jax.random.key(args.seed)
+    for start in range(0, len(prompts), bsz):
+        batch_prompts = prompts[start:start + bsz]
+        ctx = clip.apply(cparams, jnp.asarray(tok(batch_prompts)))
+        nb = len(batch_prompts)
+        shape = (nb, args.H // 8, args.W // 8, 4)
+        guided = cfg_eps_fn(
+            lambda x2, t2, c2: unet.apply(uparams, x2, t2, c2),
+            ctx, uc, args.scale, prompt_mask=pmask)
+        rng, sub = jax.random.split(rng)
+        if args.sampler == "dpm_solver":
+            z = dpm_solver_sample_loop(guided, shape, sched, times, rng=sub)
+        elif args.sampler == "plms":
+            z = plms_sample_loop(lambda x, t, i: guided(x, t, i), shape,
+                                 tables, rng=sub)
         else:
-            z = ddim_sample_loop(lambda x, t, i: guided(x, t, i), shape, tables,
-                                 rng=rng, clip_denoised=False,
+            z = ddim_sample_loop(lambda x, t, i: guided(x, t, i), shape,
+                                 tables, rng=sub, clip_denoised=False,
                                  var_type=ModelVarType.FIXED_SMALL)
-    imgs = sd_decode_to_uint8(
-        lambda p, zz: vae.apply(p, zz, method=vae.decode), vparams, z)
+        all_imgs.append(np.asarray(sd_decode_to_uint8(
+            lambda p, zz: vae.apply(p, zz, method=vae.decode), vparams, z)))
+    imgs = np.concatenate(all_imgs) if all_imgs else np.zeros(
+        (0, args.H, args.W, 3), np.uint8)
     out = args.out or "txt2img_samples.npz"
-    np.savez(out, arr_0=np.asarray(imgs))
+    np.savez(out, arr_0=imgs)
     if args.save_png_dir:
         _write_pngs(args.save_png_dir, imgs)
-    print(f"saved {n} samples to {out}")
+    print(f"saved {len(imgs)} samples to {out}")
     return 0
 
 
@@ -794,7 +816,8 @@ def cmd_train_classifier(args) -> int:
                     i % args.save_interval == 0:
                 save_tree(f"{args.save_dir}/model{i:06d}.msgpack", state.params)
                 save_tree(f"{args.save_dir}/opt{i:06d}.msgpack", state.opt_state)
-    if args.save_dir and i % (args.save_interval or 1) != 0:
+    if args.save_dir and (not args.save_interval
+                          or i % args.save_interval != 0):
         save_tree(f"{args.save_dir}/model{i:06d}.msgpack", state.params)
     return 0
 

@@ -114,6 +114,10 @@ def load_data(*, data_dir: str, batch_size: int, image_size: int,
                       random_flip=random_flip,
                       aug_seed=None if seed is None else seed + shard)
     order = list(range(len(ds)))
+    if len(order) < batch_size:
+        raise ValueError(
+            f"dataset has {len(order)} images < batch_size {batch_size}; "
+            f"the batch loop would spin forever yielding nothing")
     rng = random.Random(seed)
     while True:
         if not deterministic:

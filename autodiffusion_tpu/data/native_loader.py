@@ -98,6 +98,11 @@ class NativeNpyLoader:
         self._loader = lib.adt_loader_create(
             self._img, self._lbl, batch_size, crop, int(random_flip),
             int(shuffle), seed, num_workers, prefetch)
+        if not self._loader:
+            raise ValueError(
+                f"invalid loader config: need uint8 [N,H,W,C] with "
+                f"batch_size <= N and crop <= H,W (got shape {self.shape}, "
+                f"batch_size {batch_size}, crop {crop})")
         self._closed = False
 
     def __iter__(self) -> Iterator[dict]:

@@ -53,7 +53,9 @@ def load_tree_for_model(path: str, model, init_args) -> Any:
 def parse_step_from_filename(name: str) -> int:
     """model123456.msgpack / ema_0.9999_123456.msgpack -> 123456
     (train_util.py:780-792)."""
-    m = re.search(r"(\d{6})\.(msgpack|pt)$", name)
+    # (\d+), not (\d{6}): steps past 999999 widen beyond the :06d pad
+    # and truncating to the last six digits would rank them lowest
+    m = re.search(r"(\d+)\.(msgpack|pt)$", name)
     return int(m.group(1)) if m else 0
 
 

@@ -79,6 +79,12 @@ class CSVOutput:
             if osp.exists(self.filename):
                 with open(self.filename) as f:
                     rows = list(csv.DictReader(f))
+                # a resumed run's progress.csv may carry columns this run
+                # never logs; keep them so DictWriter does not raise
+                for r in rows:
+                    for k in r:
+                        if k not in self.keys:
+                            self.keys.append(k)
             with open(self.filename, "wt", newline="") as f:
                 w = csv.DictWriter(f, fieldnames=self.keys)
                 w.writeheader()

@@ -229,6 +229,17 @@ void* adt_loader_create(void* images, void* labels, int batch, int crop,
   auto* L = new Loader();
   L->images = static_cast<NpyArray*>(images);
   L->labels = static_cast<NpyArray*>(labels);
+  // refuse configurations that would read out of bounds: a batch larger
+  // than the dataset over-reads the order vector; a crop larger than the
+  // image makes the centering offset negative; non-1-byte pixels would be
+  // indexed at the wrong stride (fill_batch addresses in uint8 units)
+  if (L->images == nullptr || batch <= 0 ||
+      (int64_t)batch > L->images->dims[0] ||
+      crop > L->images->dims[1] || crop > L->images->dims[2] ||
+      L->images->itemsize != 1 || L->images->kind != 'u') {
+    delete L;
+    return nullptr;
+  }
   L->batch = batch;
   L->crop = crop;
   L->random_flip = random_flip;

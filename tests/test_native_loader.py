@@ -69,3 +69,25 @@ class TestNativeLoader:
     def test_missing_file_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             NativeNpyLoader(str(tmp_path / "nope.npy"), None, batch_size=2)
+
+
+class TestLoaderValidation:
+    def test_invalid_configs_refused(self, tmp_path):
+        """Out-of-bounds configs must fail loudly, not read past the mmap:
+        batch > N, crop > H/W, and non-uint8 arrays (fill_batch addresses
+        pixels in 1-byte units)."""
+        import numpy as np
+        import pytest
+
+        from autodiffusion_tpu.data.native_loader import NativeNpyLoader
+
+        p = str(tmp_path / "imgs.npy")
+        np.save(p, np.zeros((10, 16, 16, 3), np.uint8))
+        with pytest.raises(ValueError):
+            NativeNpyLoader(p, batch_size=64)          # batch > N
+        with pytest.raises(ValueError):
+            NativeNpyLoader(p, batch_size=4, crop=32)  # crop > H
+        pf = str(tmp_path / "f.npy")
+        np.save(pf, np.zeros((10, 16, 16, 3), np.float32))
+        with pytest.raises(ValueError):
+            NativeNpyLoader(pf, batch_size=4)          # not uint8

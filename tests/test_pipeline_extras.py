@@ -593,3 +593,41 @@ class TestPromptWindow:
             # rolling window covers the bank contiguously, no skips
             expect = [(i % n_prompts) for i in range(len(seen))]
             assert seen == expect, (b, seen)
+
+
+class TestTxt2ImgCLI:
+    def test_txt2img_runs_batched_on_tiny_stack(self, tiny_sd, monkeypatch,
+                                                tmp_path):
+        """cmd_txt2img end to end on a monkeypatched tiny SD stack:
+        regression for the missing cfg_eps_fn import (NameError on every
+        real run) and the from_file batching (prompts sample in
+        n_samples-sized batches, not one giant CFG batch)."""
+        import autodiffusion_tpu.cli.main as m
+        from autodiffusion_tpu.models import CLIPTextConfig, CLIPTextEncoder
+
+        unet, uparams, vae, vparams = tiny_sd
+        cfg = CLIPTextConfig(vocab_size=50, width=16, layers=1, heads=2,
+                             max_length=5)
+        clip = CLIPTextEncoder(cfg)
+        cparams = clip.init(jax.random.key(3), jnp.zeros((1, 5), jnp.int32))
+
+        def tok(texts):
+            return np.zeros((len(texts), 5), np.int32)
+
+        monkeypatch.setattr(
+            m, "_sd_stack",
+            lambda args: (unet, uparams, vae, vparams, clip, cparams, tok))
+
+        pf = tmp_path / "prompts.txt"
+        pf.write_text("a cat\na dog\na bird\n")
+        out = str(tmp_path / "t2i.npz")
+        rc = m.main(["txt2img", "--ckpt", "ignored", "--from_file", str(pf),
+                     "--n_samples", "2", "--H", "16", "--W", "16",
+                     "--steps", "4", "--sampler", "plms",
+                     "--use_bf16", "False", "--out", out])
+        assert rc == 0
+        with np.load(out) as z:
+            arr = z["arr_0"]
+        # 3 prompts sampled in batches of 2 then 1; the tiny VAE is f=2
+        # (latent 16//8=2 -> decode 4x4), vs SD v1's f=8
+        assert arr.shape == (3, 4, 4, 3) and arr.dtype == np.uint8
