@@ -373,6 +373,29 @@ class TestDPMModelWrapper:
         np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
                                    want, atol=2e-4, rtol=2e-4)
 
+    @pytest.mark.parametrize("model_type", ["x_start", "v", "score"])
+    def test_per_sample_times(self, sd_ref, model_type):
+        """Batch-folded candidates give every sample its own time; the
+        eps conversion must use per-sample alpha/sigma, not t_model[0]'s
+        (regression: candidates 1..C-1 silently used candidate 0's)."""
+        ns, model_wrapper, sched, x, _ = self._setup(sd_ref)
+        from autodiffusion_tpu.samplers import dpm_model_wrapper
+
+        raw_jnp = lambda x, t: (jnp.tanh(x) * 0.5
+                                + (t.astype(jnp.float32) / 1000.0
+                                   ).reshape(-1, 1, 1, 1))
+        ours = dpm_model_wrapper(raw_jnp, sched, model_type=model_type)
+        xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+        t_cont = np.array([0.2, 0.8], np.float32)   # two folded candidates
+        t_model = np.asarray(sched.model_input_time(jnp.asarray(t_cont)))
+        batched = ours(xj, jnp.asarray(t_model))
+        # each sample must equal its OWN single-time evaluation
+        for i in range(2):
+            solo = ours(xj[i:i + 1], jnp.asarray(t_model[i:i + 1]))
+            np.testing.assert_allclose(np.asarray(batched[i]),
+                                       np.asarray(solo[0]),
+                                       atol=1e-5, rtol=1e-5)
+
     def test_classifier_guidance(self, sd_ref):
         import torch
         ns, model_wrapper, sched, x, t_cont = self._setup(sd_ref)
