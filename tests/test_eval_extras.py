@@ -42,7 +42,7 @@ class TestSfidPlumbing:
             x = imgs.astype(jnp.float32).reshape(imgs.shape[0], -1)
             return {"pool3": x[:, :8],
                     "spatial": x[:, :6].reshape(-1, 1, 2, 3),
-                    "logits": jnp.tile(x[:, :4], (1, 1))}
+                    "logits": x[:, :4]}
 
         imgs = rng.randint(0, 255, (64, 4, 4, 3)).astype(np.uint8)
         ref_imgs = rng.randint(0, 255, (64, 4, 4, 3)).astype(np.uint8)

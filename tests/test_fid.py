@@ -155,7 +155,7 @@ class TestFrechetEigh:
         d2 = frechet_distance_eigh(a, b)
         np.testing.assert_allclose(d2, d1, rtol=1e-6)
 
-    def test_faster_than_sqrtm_at_2048(self):
+    def test_eigh_faster_than_sqrtm_at_512(self):
         import time
         from autodiffusion_tpu.fid import frechet_distance
         from autodiffusion_tpu.fid.stats import frechet_distance_eigh
@@ -163,10 +163,15 @@ class TestFrechetEigh:
         f = rng.randn(3000, 512)
         a = FIDStats.from_features(f * 1.1)
         b = FIDStats.from_features(rng.randn(3000, 512))
-        t0 = time.time(); d1 = frechet_distance(a, b); t_sqrtm = time.time() - t0
-        t0 = time.time(); d2 = frechet_distance_eigh(a, b); t_eigh = time.time() - t0
+        # median of 3 runs each: robust to a single scheduler preemption
+        ts, te = [], []
+        for _ in range(3):
+            t0 = time.time(); d1 = frechet_distance(a, b)
+            ts.append(time.time() - t0)
+            t0 = time.time(); d2 = frechet_distance_eigh(a, b)
+            te.append(time.time() - t0)
         np.testing.assert_allclose(d2, d1, rtol=1e-5)
-        assert t_eigh < t_sqrtm, (t_eigh, t_sqrtm)
+        assert sorted(te)[1] < sorted(ts)[1], (te, ts)
 
 
 class TestDeviceFrechet:

@@ -26,7 +26,7 @@ from autodiffusion_tpu.fid.stats import FIDStats
 from autodiffusion_tpu.models import EncoderUNetModel
 from autodiffusion_tpu.models.convert import convert_classifier, convert_unet
 from autodiffusion_tpu.search.pipelines import make_adm_fitness
-from tests.test_models import tiny_model
+from test_models import tiny_model
 
 pytestmark = pytest.mark.slow
 

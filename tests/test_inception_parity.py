@@ -22,7 +22,7 @@ import pytest
 
 from autodiffusion_tpu.fid import (FIDInceptionV3, load_fid_inception_params,
                                    preprocess)
-from tests.test_inception_loader import synthesize_torch_state
+from test_inception_loader import synthesize_torch_state
 
 torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402

@@ -162,7 +162,6 @@ class TestCLI:
     def test_sample_defaults_parse_reference_flags(self):
         # the published flag bundle must parse
         # (sample_imagenet64_classifier_guidance_subnet.sh)
-        import argparse
         from autodiffusion_tpu.cli.main import main
         argv = ["sample", "--model_path", "/nonexistent.pt",
                 "--use_timestep", "[94, 834, 217, 944, 574, 354]",
@@ -174,35 +173,6 @@ class TestCLI:
 
 class TestPublishedFlagBundles:
     """Every published .sh flag bundle must parse through the adt CLI."""
-
-    def _parse(self, argv):
-        import argparse
-        from autodiffusion_tpu.cli.main import main
-        # swap the handler out so we only exercise argument parsing
-        import autodiffusion_tpu.cli.main as m
-        parser_argv = argv + []
-        parsed = {}
-
-        class Stop(Exception):
-            pass
-
-        def fake(args):
-            parsed.update(vars(args))
-            raise Stop
-
-        try:
-            import unittest.mock as mock
-            with mock.patch.multiple(m, cmd_search=fake, cmd_sample=fake,
-                                     cmd_search_sd=fake, cmd_train=fake):
-                # set_defaults captured the original fns; patch at dispatch
-                args_ns = None
-                try:
-                    m.main(parser_argv)
-                except (Stop, FileNotFoundError, Exception):
-                    pass
-        except Stop:
-            pass
-        return parsed
 
     def test_search_bundle_parses(self):
         # search_imagenet64_classifier_guidance.sh flags

@@ -66,14 +66,28 @@ def _no_cuda_register_buffer(self, name, attr):
     setattr(self, name, attr)
 
 
+@pytest.fixture
+def no_cuda_buffers(sd_ref):
+    """Patch the reference samplers' register_buffer (their version calls
+    .cuda()) for ONE test, restoring the originals afterwards so later
+    reference uses in the session see the true semantics."""
+    from ldm.models.diffusion.ddim import DDIMSampler
+    from ldm.models.diffusion.plms import PLMSSampler
+    saved = (DDIMSampler.register_buffer, PLMSSampler.register_buffer)
+    DDIMSampler.register_buffer = _no_cuda_register_buffer
+    PLMSSampler.register_buffer = _no_cuda_register_buffer
+    yield
+    DDIMSampler.register_buffer = saved[0]
+    PLMSSampler.register_buffer = saved[1]
+
+
 SPEC = [94, 217, 354, 574, 834, 944]
 
 
 class TestSDDdimParity:
-    def test_ddim_matches_compvis(self, sd_ref):
+    def test_ddim_matches_compvis(self, sd_ref, no_cuda_buffers):
         import torch
         from ldm.models.diffusion.ddim import DDIMSampler
-        DDIMSampler.register_buffer = _no_cuda_register_buffer
 
         betas = make_beta_schedule("sqrt_linear", 1000)
         stub = _StubLDM(betas)
@@ -100,10 +114,9 @@ class TestSDDdimParity:
 
 
 class TestPLMSParity:
-    def test_plms_matches_compvis(self, sd_ref):
+    def test_plms_matches_compvis(self, sd_ref, no_cuda_buffers):
         import torch
         from ldm.models.diffusion.plms import PLMSSampler
-        PLMSSampler.register_buffer = _no_cuda_register_buffer
 
         betas = make_beta_schedule("sqrt_linear", 1000)
         stub = _StubLDM(betas)
@@ -194,8 +207,6 @@ class TestStochasticEncodeIndex:
     img2img.py:240-261) — not t_enc-1."""
 
     def test_q_sample_matches_reference_stochastic_encode(self, sd_ref):
-        import sys
-        sys.path.insert(0, sd_ref)
         from ldm.modules.diffusionmodules.util import (
             make_ddim_sampling_parameters, make_ddim_timesteps)
 
@@ -230,7 +241,6 @@ class TestDPMSolverSinglestepAdaptive:
 
     def _setup(self, sd_ref, monkeypatch=None):
         import sys
-        sys.path.insert(0, sd_ref)
         import torch
         from ldm.models.diffusion.dpm_solver.dpm_solver import (DPM_Solver,
                                                                 NoiseScheduleVP,
@@ -310,7 +320,6 @@ class TestDPMSolverSinglestepAdaptive:
 
     def test_order_schedule_matches_reference(self, sd_ref):
         import sys
-        sys.path.insert(0, sd_ref)
         from autodiffusion_tpu.samplers import singlestep_orders
         for steps in range(1, 16):
             for order in (1, 2, 3):
@@ -334,7 +343,6 @@ class TestDPMModelWrapper:
 
     def _setup(self, sd_ref):
         import sys
-        sys.path.insert(0, sd_ref)
         import torch
         from ldm.models.diffusion.dpm_solver.dpm_solver import (NoiseScheduleVP,
                                                                 model_wrapper)
