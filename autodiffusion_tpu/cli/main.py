@@ -962,7 +962,15 @@ def cmd_evaluate(args) -> int:
                    if args.ref_stats_spatial else None)
     ev = FIDEvaluator(feature_fn, ref, ref_stats_spatial=ref_spatial,
                       batch_size=args.batch_size)
-    metrics = ev.cal_metrics(arr)
+    # precision/recall need the raw reference batch's features
+    # (evaluator.py computes P&R between the two feature sets; moments
+    # alone cannot express the manifold estimate)
+    ref_features = None
+    if args.ref_batch:
+        with np.load(args.ref_batch) as z:
+            ref_arr = z[z.files[0]]
+        ref_features, _, _ = ev.compute_activations(ref_arr)
+    metrics = ev.cal_metrics(arr, ref_features=ref_features)
     print(json.dumps(metrics))
     return 0
 
@@ -1129,8 +1137,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("evaluate", help="FID/IS of sample npz vs reference")
     add_dict_to_argparser(p, dict(sample_batch="", ref_stats="",
-                                  ref_stats_spatial="", inception_path="",
-                                  batch_size=100))
+                                  ref_stats_spatial="", ref_batch="",
+                                  inception_path="", batch_size=100))
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("ref-stats", help="precompute FID reference stats")

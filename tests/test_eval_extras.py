@@ -86,3 +86,41 @@ class TestBpdLoop:
                                    atol=1e-4, rtol=1e-4)
         assert got["vb"].shape == (4, 2)
         assert np.isfinite(np.asarray(got["total_bpd"])).all()
+
+
+class TestEvaluateCLIPrecisionRecall:
+    def test_evaluate_cli_with_ref_batch(self, tmp_path, capsys):
+        """adt evaluate --ref_batch computes precision/recall (the
+        reference evaluator.py's two-batch mode) alongside FID/IS."""
+        import json as jsonlib
+
+        import torch
+
+        from autodiffusion_tpu.cli.main import main
+        from autodiffusion_tpu.fid import FIDInceptionV3
+        from test_inception_loader import synthesize_torch_state
+
+        shapes = jax.eval_shape(lambda: FIDInceptionV3().init(
+            jax.random.key(0), jnp.zeros((1, 299, 299, 3))))
+        sd = synthesize_torch_state(
+            jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype),
+                                   shapes), np.random.RandomState(0))
+        pth = str(tmp_path / "pt_inception.pth")
+        torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, pth)
+
+        rng = np.random.RandomState(1)
+        samples = str(tmp_path / "samples.npz")
+        refs = str(tmp_path / "refs.npz")
+        np.savez(samples, arr_0=rng.randint(0, 255, (8, 16, 16, 3)
+                                            ).astype(np.uint8))
+        np.savez(refs, arr_0=rng.randint(0, 255, (8, 16, 16, 3)
+                                         ).astype(np.uint8))
+
+        rc = main(["evaluate", "--sample_batch", samples,
+                   "--ref_stats", refs, "--ref_batch", refs,
+                   "--inception_path", pth, "--batch_size", "4"])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        m = jsonlib.loads(out)
+        for k in ("fid", "inception_score", "precision", "recall"):
+            assert k in m and np.isfinite(m[k]), (k, m)
