@@ -644,7 +644,8 @@ def cmd_ldm_sample(args) -> int:
         model_fn,
         (n, hw, hw, args.latent_channels), tables, rng=rng,
         eta=args.eta, clip_denoised=False,
-        var_type=ModelVarType.FIXED_SMALL)
+        var_type=ModelVarType.FIXED_SMALL,
+        final_step_noise=args.eta > 0)   # CompVis adds sigma*z at step 0
     x = fs.apply(fs_params, z / args.scale_factor, method=fs.decode)
     imgs = np.asarray(to_uint8(x))
     out = args.out or "ldm_samples.npz"

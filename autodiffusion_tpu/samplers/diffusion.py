@@ -100,9 +100,14 @@ def p_mean_variance(tables: ScheduleTables, model_out, x, i, *,
         variance = jnp.exp(log_variance)
     elif var_type == ModelVarType.FIXED_LARGE:
         # betas with variance[0] replaced by posterior_variance[1]
-        # (gaussian_diffusion.py:278-289)
+        # (gaussian_diffusion.py:278-289). NB: the i==0 condition must be
+        # broadcast-shaped like _at's outputs — a bare [B] vector would
+        # broadcast along the CHANNEL axis ((B,1,1,B) variance: crash, or
+        # silently wrong numbers when B == C).
         k1 = min(1, tables.num_steps - 1)
-        variance = jnp.where(jnp.equal(i, 0),
+        cond = jnp.equal(i, 0)
+        cond = cond.reshape(jnp.shape(cond) + (1,) * nd)
+        variance = jnp.where(cond,
                              _at(tables.posterior_variance, k1, nd),
                              _at(tables.betas, i, nd))
         log_variance = jnp.log(variance)
@@ -149,6 +154,9 @@ def _predict_eps_from_xstart(tables, x, i, x0):
 def _loop(body, tables: ScheduleTables, shape, rng, noise, unroll=1):
     K = tables.num_steps
     x_T = jax.random.normal(rng, shape) if noise is None else noise
+    # the body's math promotes to the (f32) table dtype; a bf16 noise=
+    # input would otherwise mismatch the scan carry dtype at trace time
+    x_T = x_T.astype(tables.betas.dtype)
     idxs = jnp.arange(K - 1, -1, -1)
     final, _ = jax.lax.scan(body, x_T, idxs, unroll=unroll)
     return final
@@ -191,6 +199,7 @@ def ddim_sample_loop(model_fn, shape, tables: ScheduleTables, *, rng,
                      denoised_fn: Optional[Callable] = None,
                      cond_fn: Optional[Callable] = None,
                      noise: Optional[jnp.ndarray] = None,
+                     final_step_noise: bool = False,
                      unroll: int = 1) -> jnp.ndarray:
     """DDIM sampling, eq. 12 of Song et al.
     (gaussian_diffusion.py:536-716). Returns x_0."""
@@ -220,7 +229,14 @@ def ddim_sample_loop(model_fn, shape, tables: ScheduleTables, *, rng,
         mean_pred = (pred_x0 * jnp.sqrt(abar_prev)
                      + jnp.sqrt(1 - abar_prev - sigma ** 2) * eps)
         z = jax.random.normal(jax.random.fold_in(rng, i), x.shape)
-        nonzero = jnp.where(jnp.equal(i, 0), 0.0, 1.0)
+        # ADM zeroes the stochastic term at the final respaced step
+        # (its sigma[0] is 0 anyway since alphas_cumprod_prev[0]=1);
+        # CompVis DDIM adds sigma*z at EVERY step, and with build_sd_tables
+        # the alphas_prev quirk makes sigma[0] nonzero whenever step 0 is
+        # not in the subset — final_step_noise=True selects that semantics
+        # (only observable at eta > 0).
+        nonzero = (1.0 if final_step_noise
+                   else jnp.where(jnp.equal(i, 0), 0.0, 1.0))
         sample = mean_pred + nonzero * sigma * z
         return sample, ()
 

@@ -52,13 +52,14 @@ def plms_sample_loop(model_fn: Callable, shape, tables: ScheduleTables, *,
     def body(carry, k):
         x, hist, count = carry          # hist: [3, *shape] newest-first
         i = K - 1 - k                   # step index, descending
-        e_t = model_fn(x, t_of(i), i)
+        e_t = model_fn(x, t_of(i), i).astype(x.dtype)
 
         def order1(_):
             # pseudo improved Euler: second eval at the next (lower) step
             x_prev0 = x_prev_from(x, e_t, i)
             i_next = jnp.maximum(i - 1, 0)
-            e_t_next = model_fn(x_prev0, t_of(i_next), i_next)
+            e_t_next = model_fn(x_prev0, t_of(i_next),
+                                 i_next).astype(x.dtype)
             return (e_t + e_t_next) / 2
 
         def order2(_):
@@ -77,7 +78,11 @@ def plms_sample_loop(model_fn: Callable, shape, tables: ScheduleTables, *,
         return (x_next, hist, count + 1), ()
 
     x_T = jax.random.normal(rng, shape) if noise is None else noise
-    hist0 = jnp.zeros((3,) + tuple(shape))
+    # pin the whole loop to the (f32) table dtype: a bf16 model output
+    # or noise= input would otherwise give lax.switch branches / the
+    # scan carry mismatched dtypes at trace time
+    x_T = x_T.astype(tables.betas.dtype)
+    hist0 = jnp.zeros((3,) + tuple(shape), tables.betas.dtype)
     (x, _, _), _ = jax.lax.scan(body, (x_T, hist0, jnp.int32(0)),
                                 jnp.arange(K))
     return x

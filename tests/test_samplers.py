@@ -263,3 +263,74 @@ class TestConditionMeanParity:
         got = mean + var * jnp.asarray(grad.transpose(0, 2, 3, 1))
         np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestReviewRegressions:
+    def test_fixed_large_vector_t_broadcasts_correctly(self):
+        """FIXED_LARGE with a per-sample t vector (the shape vb_terms_bpd
+        always uses) must give (B,1,1,1) variance — a bare [B] condition
+        broadcast along channels as (B,1,1,B), crashing or silently
+        corrupting bpd when B == C."""
+        from autodiffusion_tpu.samplers.diffusion import (ModelVarType,
+                                                          p_mean_variance)
+        from autodiffusion_tpu.schedules import build_tables
+
+        tables = build_tables([0, 250, 500, 750], base_schedule="cosine")
+        x = jnp.zeros((3, 8, 8, 3))          # B == C: the silent case
+        out = jnp.zeros((3, 8, 8, 3))
+        t = jnp.asarray([0, 1, 3])
+        from autodiffusion_tpu.samplers.diffusion import ModelMeanType
+        r = p_mean_variance(tables, out, x, t,
+                            mean_type=ModelMeanType.EPSILON,
+                            var_type=ModelVarType.FIXED_LARGE)
+        _, variance, _, _ = r
+        assert variance.shape == (3, 1, 1, 1), variance.shape
+        # index 0 takes posterior_variance[1], others take betas[i]
+        pv = np.asarray(tables.posterior_variance)
+        b = np.asarray(tables.betas)
+        got = np.asarray(variance).reshape(-1)
+        np.testing.assert_allclose(got, [pv[1], b[1], b[3]], rtol=1e-6)
+
+    def test_samplers_accept_bf16_noise_and_model(self):
+        """bf16 noise= inputs and bf16 model outputs must not crash the
+        scan carries / lax.switch branches (the loops pin to the table
+        dtype)."""
+        from autodiffusion_tpu.samplers import (ddim_sample_loop,
+                                                plms_sample_loop)
+        from autodiffusion_tpu.samplers.diffusion import ModelVarType
+        from autodiffusion_tpu.schedules import build_sd_tables
+
+        tables = build_sd_tables([94, 354, 574, 834])
+
+        def bf16_model(x, t, i):
+            return (0.1 * x).astype(jnp.bfloat16)
+
+        noise = jnp.zeros((2, 8, 8, 3), jnp.bfloat16)
+        a = ddim_sample_loop(bf16_model, (2, 8, 8, 3), tables,
+                             rng=jax.random.key(0), clip_denoised=False,
+                             var_type=ModelVarType.FIXED_SMALL, noise=noise)
+        b = plms_sample_loop(bf16_model, (2, 8, 8, 3), tables,
+                             rng=jax.random.key(0), noise=noise)
+        assert np.isfinite(np.asarray(a)).all()
+        assert np.isfinite(np.asarray(b)).all()
+
+    def test_final_step_noise_selects_compvis_semantics(self):
+        """With build_sd_tables and eta>0, sigma[0] is nonzero when step 0
+        is absent from the subset; final_step_noise=True (CompVis) adds
+        that draw, the ADM default zeroes it."""
+        from autodiffusion_tpu.samplers import ddim_sample_loop
+        from autodiffusion_tpu.samplers.diffusion import ModelVarType
+        from autodiffusion_tpu.schedules import build_sd_tables
+
+        tables = build_sd_tables([94, 354, 574, 834])
+
+        def model(x, t, i):
+            return 0.1 * x
+
+        kw = dict(rng=jax.random.key(0), eta=1.0, clip_denoised=False,
+                  var_type=ModelVarType.FIXED_SMALL,
+                  noise=jnp.ones((1, 8, 8, 3)))
+        adm = ddim_sample_loop(model, (1, 8, 8, 3), tables, **kw)
+        compvis = ddim_sample_loop(model, (1, 8, 8, 3), tables,
+                                   final_step_noise=True, **kw)
+        assert not np.allclose(np.asarray(adm), np.asarray(compvis))
