@@ -442,6 +442,13 @@ def cmd_txt2img(args) -> int:
         steps = ast.literal_eval(args.timesteps)
     else:
         steps = None
+    # a short mask would silently clamp to its last entry under traced
+    # indexing, skewing the ablation — fail loud instead
+    n_steps = len(steps) if steps else args.steps
+    if pmask is not None and pmask.shape[0] != n_steps:
+        print(f"--prompt_mask has {pmask.shape[0]} entries but the "
+              f"schedule has {n_steps} steps")
+        return 1
     if args.sampler == "dpm_solver":
         betas = make_beta_schedule("sqrt_linear", 1000)
         sched = DiscreteNoiseSchedule.from_betas(betas)

@@ -80,30 +80,43 @@ class NativeNpyLoader:
                  prefetch: int = 4):
         lib = _load_lib()
         self._lib = lib
-        self._img = lib.adt_npy_open(images_npy.encode())
-        if not self._img:
-            raise FileNotFoundError(f"cannot mmap npy: {images_npy}")
-        nd = lib.adt_npy_ndim(self._img)
-        dims = (ctypes.c_int64 * nd)()
-        lib.adt_npy_shape(self._img, dims)
-        self.shape = tuple(dims[i] for i in range(nd))
-        assert nd == 4, f"expected uint8 [N,H,W,C] array, got shape {self.shape}"
+        # Initialise handle slots before any call that can raise so that
+        # close() is always safe and the mmapped npy handles never leak on
+        # a failed construction.
+        self._img = None
         self._lbl = None
-        if labels_npy:
-            self._lbl = lib.adt_npy_open(labels_npy.encode())
-            if not self._lbl:
-                raise FileNotFoundError(f"cannot mmap npy: {labels_npy}")
-        self.batch_size = batch_size
-        self.out_hw = (crop or self.shape[1], crop or self.shape[2])
-        self._loader = lib.adt_loader_create(
-            self._img, self._lbl, batch_size, crop, int(random_flip),
-            int(shuffle), seed, num_workers, prefetch)
-        if not self._loader:
-            raise ValueError(
-                f"invalid loader config: need uint8 [N,H,W,C] with "
-                f"batch_size <= N and crop <= H,W (got shape {self.shape}, "
-                f"batch_size {batch_size}, crop {crop})")
+        self._loader = None
         self._closed = False
+        try:
+            self._img = lib.adt_npy_open(images_npy.encode())
+            if not self._img:
+                self._img = None
+                raise FileNotFoundError(f"cannot mmap npy: {images_npy}")
+            nd = lib.adt_npy_ndim(self._img)
+            dims = (ctypes.c_int64 * nd)()
+            lib.adt_npy_shape(self._img, dims)
+            self.shape = tuple(dims[i] for i in range(nd))
+            assert nd == 4, \
+                f"expected uint8 [N,H,W,C] array, got shape {self.shape}"
+            if labels_npy:
+                self._lbl = lib.adt_npy_open(labels_npy.encode())
+                if not self._lbl:
+                    self._lbl = None
+                    raise FileNotFoundError(f"cannot mmap npy: {labels_npy}")
+            self.batch_size = batch_size
+            self.out_hw = (crop or self.shape[1], crop or self.shape[2])
+            self._loader = lib.adt_loader_create(
+                self._img, self._lbl, batch_size, crop, int(random_flip),
+                int(shuffle), seed, num_workers, prefetch)
+            if not self._loader:
+                self._loader = None
+                raise ValueError(
+                    f"invalid loader config: need uint8 [N,H,W,C] with "
+                    f"batch_size <= N and crop <= H,W (got shape {self.shape}, "
+                    f"batch_size {batch_size}, crop {crop})")
+        except Exception:
+            self.close()
+            raise
 
     def __iter__(self) -> Iterator[dict]:
         return self
@@ -125,8 +138,10 @@ class NativeNpyLoader:
 
     def close(self) -> None:
         if not self._closed:
-            self._lib.adt_loader_destroy(self._loader)
-            self._lib.adt_npy_close(self._img)
+            if self._loader:
+                self._lib.adt_loader_destroy(self._loader)
+            if self._img:
+                self._lib.adt_npy_close(self._img)
             if self._lbl:
                 self._lib.adt_npy_close(self._lbl)
             self._closed = True

@@ -454,6 +454,7 @@ class EncoderUNetModel(nn.Module):
         emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_0")(emb)
         emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
 
+        in_dtype = x.dtype
         x = x.astype(self.dtype)
         ch = int(self.channel_mult[0] * self.model_channels)
         results = []
@@ -462,9 +463,9 @@ class EncoderUNetModel(nn.Module):
             # reference pools after EVERY input_blocks module — conv_in,
             # each ResBlock(+Attention) pair, each downsample — and the
             # middle block, cast back to the input dtype before the mean
-            # (unet.py:880-891)
+            # (unet.py:880-891: h.type(x.dtype).mean(dim=(2,3)))
             if self.pool.startswith("spatial"):
-                results.append(h.astype(jnp.float32).mean(axis=(1, 2)))
+                results.append(h.astype(in_dtype).mean(axis=(1, 2)))
 
         h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(x)
         pool_point(h)

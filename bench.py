@@ -92,12 +92,14 @@ def main():
     prev_gate = os.environ.get("ADT_FLASH_MIN_TOKENS")
     os.environ["ADT_FLASH_MIN_TOKENS"] = str(1 << 30)
     t0 = time.time()
-    counted = jax.jit(lambda *a: sample(*a)).lower(
-        params, cparams, per_sample, jax.random.key(0)).compile()
-    if prev_gate is None:
-        del os.environ["ADT_FLASH_MIN_TOKENS"]
-    else:
-        os.environ["ADT_FLASH_MIN_TOKENS"] = prev_gate
+    try:
+        counted = jax.jit(lambda *a: sample(*a)).lower(
+            params, cparams, per_sample, jax.random.key(0)).compile()
+    finally:
+        if prev_gate is None:
+            del os.environ["ADT_FLASH_MIN_TOKENS"]
+        else:
+            os.environ["ADT_FLASH_MIN_TOKENS"] = prev_gate
     t_count = time.time() - t0
     f = jax.jit(lambda *a: sample(*a))
     t0 = time.time()

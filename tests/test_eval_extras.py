@@ -116,9 +116,18 @@ class TestEvaluateCLIPrecisionRecall:
         np.savez(refs, arr_0=rng.randint(0, 255, (8, 16, 16, 3)
                                          ).astype(np.uint8))
 
-        rc = main(["evaluate", "--sample_batch", samples,
-                   "--ref_stats", refs, "--ref_batch", refs,
-                   "--inception_path", pth, "--batch_size", "4"])
+        # an 8-sample fixture necessarily has a rank-deficient 2048-dim
+        # covariance, so scipy's sqrtm legitimately warns; silence it
+        # explicitly to keep the suite's warning signal clean
+        import warnings
+
+        from scipy.linalg import LinAlgWarning
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", LinAlgWarning)
+            rc = main(["evaluate", "--sample_batch", samples,
+                       "--ref_stats", refs, "--ref_batch", refs,
+                       "--inception_path", pth, "--batch_size", "4"])
         assert rc == 0
         out = capsys.readouterr().out.strip().splitlines()[-1]
         m = jsonlib.loads(out)
