@@ -211,6 +211,12 @@ class EvolutionSearcher:
             state["space_rng"] = repr(self.space.rng.getstate())
         if hasattr(self.space, "skip_layer_range"):
             state["skip_layer_range"] = list(self.space.skip_layer_range)
+        # the fitness noise stream must resume too (BatchedFIDFitness
+        # folds an eval counter into each chunk's RNG): without it a
+        # resumed run scores FRESH candidates with replayed noise from
+        # count 0 instead of continuing the uninterrupted run's stream
+        if hasattr(self.fitness_fn, "get_state"):
+            state["fitness_state"] = self.fitness_fn.get_state()
         tmp = self.checkpoint_path + ".tmp"
         os.makedirs(os.path.dirname(os.path.abspath(self.checkpoint_path)),
                     exist_ok=True)
@@ -234,6 +240,8 @@ class EvolutionSearcher:
         if "skip_layer_range" in state and hasattr(self.space,
                                                    "skip_layer_range"):
             self.space.skip_layer_range = tuple(state["skip_layer_range"])
+        if "fitness_state" in state and hasattr(self.fitness_fn, "set_state"):
+            self.fitness_fn.set_state(state["fitness_state"])
         logger.log(f"resumed search at epoch {self.epoch} "
                    f"({len(self.vis_dict)} evaluated candidates)")
 

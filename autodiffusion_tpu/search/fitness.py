@@ -123,6 +123,21 @@ class BatchedFIDFitness:
 
         self._chunk_step = jax.jit(chunk_step)
 
+    # ---- noise-stream state (EA checkpoint/resume) ----
+    # Each chunk evaluation folds _eval_count into its RNG, so the noise
+    # stream advances across the whole search. A resumed search must
+    # continue the stream where it stopped, or fresh candidates would be
+    # scored with replayed noise from count 0 — memoized FIDs stay valid
+    # either way, but resume would not be bitwise-equal to an
+    # uninterrupted run. EvolutionSearcher persists this via
+    # get_state/set_state.
+
+    def get_state(self) -> Dict[str, int]:
+        return {"eval_count": self._eval_count}
+
+    def set_state(self, state: Dict[str, int]) -> None:
+        self._eval_count = int(state["eval_count"])
+
     def __call__(self, candidates: Sequence[Any]) -> List[float]:
         fids: Dict[int, float] = {}
         # group by shape so each group stacks into one compiled evaluation

@@ -206,6 +206,35 @@ class TestBatchedFitness:
         assert self._fitness(candidate_chunk=4, batch_size=100,
                              max_device_batch=0).device_batch == 100
 
+    def test_resume_is_bitwise_at_fitness_level(self, tmp_path):
+        """A resumed search scores FRESH candidates with the same noise
+        stream as an uninterrupted run: the fitness eval counter is part
+        of the EA checkpoint (BatchedFIDFitness.get_state/set_state), so
+        the two runs' vis_dicts are float-identical — not just for
+        memoized candidates but for ones first seen after the resume."""
+        def make(max_epochs, path):
+            f = self._fitness(seed=5)
+            sp = TimestepSpace(1000, 2, rng=pyrandom.Random(3))
+            return EvolutionSearcher(
+                sp, f, population_num=4, select_num=2, mutation_num=1,
+                crossover_num=1, max_epochs=max_epochs,
+                checkpoint_path=path)
+
+        sa = make(3, str(tmp_path / "a.json"))
+        sa.search()
+
+        pb = str(tmp_path / "b.json")
+        sb1 = make(1, pb)
+        sb1.search()
+        sb2 = make(3, pb)           # fresh fitness: eval counter at 0
+        sb2.load()                  # ... restored from the checkpoint
+        assert sb2.fitness_fn.get_state()["eval_count"] > 0
+        sb2.search()
+        # epochs 1-2 evaluate candidates never seen before the resume;
+        # bitwise equality holds only if the noise stream continued
+        assert set(sb2.vis_dict) - set(sb1.vis_dict), "no fresh candidates"
+        assert sb2.vis_dict == sa.vis_dict
+
     def test_device_batch_cap_preserves_fid_math(self):
         # with an rng-free sampler, sub-batched accumulation is exactly
         # the same math as one big batch
