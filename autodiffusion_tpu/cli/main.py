@@ -1001,6 +1001,25 @@ def cmd_ref_stats(args) -> int:
     return 0
 
 
+def cmd_selftest(args) -> int:
+    """One-command FID certification for real pt_inception weights
+    (fid/selftest.py; evaluator_v1.py:652-679's auto-download replaced by
+    a user-supplied file in this zero-egress design). Exit 0 iff every
+    consistency check passes; 'certified' additionally requires the
+    genuine checkpoint digest."""
+    from ..fid.selftest import run_selftest
+
+    out = run_selftest(
+        args.inception_path,
+        ref_batch=args.ref_batch or None,
+        ref_stats=args.ref_stats or None,
+        expected_fid=None if args.expected_fid < 0 else args.expected_fid,
+        tol=args.tol, batch_size=args.batch_size,
+        n_fixture=args.n_fixture, seed=args.seed)
+    print(json.dumps(out))
+    return 0 if out["passed"] else 1
+
+
 def cmd_convert(args) -> int:
     from ..models.convert import load_torch_state_dict
     from ..utils.checkpoint import save_tree
@@ -1158,6 +1177,14 @@ def main(argv=None) -> int:
     p = sub.add_parser("convert", help="torch checkpoint -> msgpack")
     add_dict_to_argparser(p, dict(torch_path="", out="", preset="adm64"))
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser(
+        "selftest",
+        help="certify the FID pipeline against real pt_inception weights")
+    add_dict_to_argparser(p, dict(inception_path="", ref_batch="",
+                                  ref_stats="", expected_fid=-1.0, tol=0.5,
+                                  batch_size=32, n_fixture=32, seed=0))
+    p.set_defaults(fn=cmd_selftest)
 
     args = parser.parse_args(argv)
     return args.fn(args)
