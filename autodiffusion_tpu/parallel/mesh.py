@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "data_sharding", "replicate", "shard_batch",
-           "param_shardings", "data_sharder"]
+           "param_shardings", "data_sharder", "global_replicate"]
 
 
 def make_mesh(model_parallel: int = 1,
@@ -48,6 +48,33 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree across the mesh (param 'broadcast')."""
     s = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def global_replicate(mesh: Mesh, tree):
+    """replicate() that also works when the mesh spans PROCESSES.
+
+    jax.device_put rejects shardings with non-addressable devices, so on a
+    multi-process mesh each process contributes its identical host copy via
+    multihost_utils (the inputs must be the same on every process — true
+    for the fitness path's coefficient tables, params and folded rng keys).
+    Typed PRNG keys are unwrapped to their uint32 data and re-wrapped,
+    since the multihost helpers only accept plain ndarrays. This is the
+    standard ``place_fn`` for running BatchedFIDFitness across processes."""
+    if jax.process_count() == 1:
+        return replicate(mesh, tree)
+    from jax.experimental import multihost_utils
+
+    def put(x):
+        if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
+                x.dtype, jax.dtypes.prng_key):
+            data = np.asarray(jax.random.key_data(x))
+            g = multihost_utils.host_local_array_to_global_array(
+                data, mesh, P())
+            return jax.random.wrap_key_data(g, impl=jax.random.key_impl(x))
+        return multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, P())
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def shard_batch(mesh: Mesh, batch):

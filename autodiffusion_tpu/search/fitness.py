@@ -66,7 +66,8 @@ class BatchedFIDFitness:
                  candidate_chunk: int = 8, feature_dim: int = 2048,
                  seed: int = 0, device_frechet: bool = True,
                  group_key_fn: Optional[Callable] = None,
-                 max_device_batch: Optional[int] = None):
+                 max_device_batch: Optional[int] = None,
+                 place_fn: Optional[Callable] = None):
         self.payload_fn = payload_fn
         self.feature_fn = feature_fn
         self.ref_stats = ref_stats
@@ -87,7 +88,18 @@ class BatchedFIDFitness:
             self.device_batch = -(-batch_size // splits)
         else:
             self.device_batch = batch_size
-        self.static_payload = static_payload
+        # place_fn makes every dispatch argument a GLOBAL array before it
+        # enters jit — required on multi-process meshes, where each process
+        # holds only its local devices and jit rejects process-local
+        # (uncommitted) inputs. Typical value:
+        #   lambda tree: parallel.replicate(mesh, tree)
+        # (arrays are tiny coefficient tables/moments; GSPMD re-shards the
+        # actual compute per shard_fn's constraints). Single-process meshes
+        # don't need it. Mirrors the reference's rank-sharded sampling +
+        # all_gather (search_imagenet64_classifier_guidance.py:356-366).
+        self.place_fn = place_fn
+        self.static_payload = (place_fn(static_payload) if place_fn
+                               else static_payload)
         self.candidate_chunk = candidate_chunk
         self.feature_dim = feature_dim
         self.seed = seed
@@ -185,8 +197,11 @@ class BatchedFIDFitness:
             for b in range(n_batches):
                 rng = jax.random.fold_in(
                     jax.random.fold_in(base_rng, self._eval_count), b)
-                stats = self._chunk_step(self.static_payload, per_sample,
-                                         stats, self._shift, rng, jnp.int32(b))
+                args = (self.static_payload, per_sample, stats, self._shift,
+                        rng, jnp.int32(b))
+                if self.place_fn is not None:
+                    args = self.place_fn(args)
+                stats = self._chunk_step(*args)
             stats = jax.block_until_ready(stats)
         self._eval_count += 1
         sample_time = time.time() - t0

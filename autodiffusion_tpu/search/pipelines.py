@@ -44,11 +44,14 @@ def make_adm_fitness(*, model, params, image_size: int,
                      candidate_chunk: int = 8, seed: int = 0,
                      feature_dim: int = 2048,
                      shard_fn: Optional[Callable] = None,
-                     max_device_batch: Optional[int] = None) -> BatchedFIDFitness:
+                     max_device_batch: Optional[int] = None,
+                     place_fn: Optional[Callable] = None) -> BatchedFIDFitness:
     """Fitness for timestep-only (joint=False) or joint timestep+arch search.
 
     shard_fn, if given, wraps arrays with a sharding constraint so the batch
     axis spreads across the mesh (see parallel.mesh.data_sharder).
+    place_fn globalizes dispatch arguments for MULTI-PROCESS meshes (see
+    BatchedFIDFitness.place_fn); not needed single-process.
     """
     layer_num = model.layer_num
 
@@ -109,4 +112,4 @@ def make_adm_fitness(*, model, params, image_size: int,
         ref_stats=ref_stats, num_samples=num_samples, batch_size=batch_size,
         static_payload=(params, classifier_params),
         candidate_chunk=candidate_chunk, seed=seed, feature_dim=feature_dim,
-        max_device_batch=max_device_batch)
+        max_device_batch=max_device_batch, place_fn=place_fn)

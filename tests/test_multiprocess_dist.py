@@ -130,6 +130,120 @@ TRAIN_WORKER = textwrap.dedent("""
 """)
 
 
+FITNESS_WORKER = textwrap.dedent("""
+    import os, sys
+    import numpy as np
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1])
+    jax.distributed.initialize(coordinator_address=sys.argv[2],
+                               num_processes=2, process_id=pid,
+                               local_device_ids=[0])
+    import random as pyrandom
+    import jax.numpy as jnp
+
+    from autodiffusion_tpu.fid import FIDStats
+    from autodiffusion_tpu.models import UNetModel
+    from autodiffusion_tpu.parallel import (data_sharder, global_replicate,
+                                            make_mesh)
+    from autodiffusion_tpu.parallel.dist import barrier
+    from autodiffusion_tpu.search import TimestepSpace, make_adm_fitness
+
+    mesh = make_mesh()        # data=2 over the two processes' devices
+    m = UNetModel(model_channels=32, out_channels=6, num_res_blocks=1,
+                  attention_ds=(2,), channel_mult=(1, 2), num_head_channels=32)
+    x1 = jnp.zeros((1, 8, 8, 3))
+    params = m.init(jax.random.key(0), x1, jnp.zeros((1,)))
+
+    def feature_fn(imgs):
+        x = imgs.astype(jnp.float32).reshape(imgs.shape[0], -1)
+        return {"pool3": x[:, :8]}
+
+    ref = FIDStats.from_features(
+        np.random.RandomState(2).randn(100, 8) * 40 + 127)
+    # one fitness chunk GSPMD-sharded ACROSS the process boundary:
+    # shard_fn splits the sample batch over 'data' (one process each),
+    # place_fn globalizes every dispatch argument first
+    fitness = make_adm_fitness(
+        model=m, params=params, image_size=8, feature_fn=feature_fn,
+        ref_stats=ref, num_samples=16, batch_size=16, num_classes=None,
+        base_schedule="cosine", candidate_chunk=1, seed=3, feature_dim=8,
+        shard_fn=data_sharder(mesh),
+        place_fn=lambda tree: global_replicate(mesh, tree))
+    cand = TimestepSpace(1000, 4, rng=pyrandom.Random(1)).random()
+    with mesh:
+        fid = fitness([cand])[0]
+    print(f"RANK{pid}_FID={fid:.10f}")
+    barrier("fitness_end")
+""")
+
+
+class TestTwoProcessShardedFitness:
+    def test_fitness_chunk_across_processes_matches_unsharded(self, tmp_path):
+        """The PRODUCT path (guided sampling -> features -> moments ->
+        Frechet) GSPMD-sharded across a REAL 2-process mesh: both ranks
+        compute the same FID, and it equals the unsharded single-process
+        evaluation of the identical candidate — the rebuild's equivalent
+        of the reference's rank-sharded sampling + all_gather
+        (search_imagenet64_classifier_guidance.py:356-366)."""
+        port = socket.socket()
+        port.bind(("localhost", 0))
+        addr = f"localhost:{port.getsockname()[1]}"
+        port.close()
+
+        script = tmp_path / "fitness_worker.py"
+        script.write_text(FITNESS_WORKER)
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        procs = [subprocess.Popen([sys.executable, str(script), str(i), addr],
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, text=True,
+                                  env=env)
+                 for i in range(2)]
+        outs = []
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+            assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+        fids = []
+        for out in outs:
+            for line in out.splitlines():
+                if "_FID=" in line:
+                    fids.append(float(line.split("=")[1]))
+        assert len(fids) == 2 and fids[0] == fids[1], fids
+
+        # unsharded single-process reference of the identical candidate
+        import random as pyrandom
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from autodiffusion_tpu.fid import FIDStats
+        from autodiffusion_tpu.models import UNetModel
+        from autodiffusion_tpu.search import TimestepSpace, make_adm_fitness
+
+        m = UNetModel(model_channels=32, out_channels=6, num_res_blocks=1,
+                      attention_ds=(2,), channel_mult=(1, 2),
+                      num_head_channels=32)
+        params = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)),
+                        jnp.zeros((1,)))
+
+        def feature_fn(imgs):
+            x = imgs.astype(jnp.float32).reshape(imgs.shape[0], -1)
+            return {"pool3": x[:, :8]}
+
+        ref = FIDStats.from_features(
+            np.random.RandomState(2).randn(100, 8) * 40 + 127)
+        fitness = make_adm_fitness(
+            model=m, params=params, image_size=8, feature_fn=feature_fn,
+            ref_stats=ref, num_samples=16, batch_size=16, num_classes=None,
+            base_schedule="cosine", candidate_chunk=1, seed=3, feature_dim=8)
+        cand = TimestepSpace(1000, 4, rng=pyrandom.Random(1)).random()
+        plain = fitness([cand])[0]
+        np.testing.assert_allclose(fids[0], plain, rtol=1e-4)
+
+
 class TestTwoProcessDataParallelTrain:
     def test_train_step_matches_single_process(self, tmp_path):
         """One GSPMD-sharded train step over a REAL 2-process mesh: both
