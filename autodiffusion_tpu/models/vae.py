@@ -51,9 +51,18 @@ class VAEResnetBlock(nn.Module):
 
 class VAEAttnBlock(nn.Module):
     """Single-head spatial attention with 1x1-conv projections
-    (model.py:141-184)."""
+    (model.py:141-184).
+
+    On TPU with >=1024 tokens the Pallas flash kernel replaces the einsum:
+    the 512px decode's mid-block attention is T=4096 single-head D=512 —
+    the f32 [B,4096,4096] logits tensor (64 MB/image, written + read twice)
+    is the decoder's dominant HBM traffic, and the online-softmax kernel
+    never materializes it. The kernel also accumulates logits in f32 where
+    the einsum path rounds them to bf16 first, so the flash path is both
+    faster and slightly MORE faithful to the f32-softmax policy."""
 
     dtype: Dtype = jnp.float32
+    use_flash: Any = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -62,9 +71,20 @@ class VAEAttnBlock(nn.Module):
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h).reshape(b, hh * ww, c)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h).reshape(b, hh * ww, c)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h).reshape(b, hh * ww, c)
-        w = jnp.einsum("btc,bsc->bts", q, k).astype(jnp.float32) * (c ** -0.5)
-        w = jax.nn.softmax(w, axis=-1).astype(v.dtype)
-        h = jnp.einsum("bts,bsc->btc", w, v).reshape(b, hh, ww, c)
+        t = hh * ww
+        if self.use_flash == "auto":
+            flash = (jax.default_backend() == "tpu" and c <= 512
+                     and t >= 1024)
+        else:
+            flash = bool(self.use_flash)
+        if flash:
+            from ..ops import flash_attention
+            h = flash_attention(q[:, None], k[:, None], v[:, None]
+                                )[:, 0].reshape(b, hh, ww, c)
+        else:
+            w = jnp.einsum("btc,bsc->bts", q, k).astype(jnp.float32) * (c ** -0.5)
+            w = jax.nn.softmax(w, axis=-1).astype(v.dtype)
+            h = jnp.einsum("bts,bsc->btc", w, v).reshape(b, hh, ww, c)
         h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
         return x + h
 

@@ -13,8 +13,10 @@ DMA. Inputs are [B, H, T, D] with optional separate source length S
 
 Numerics: logits and the softmax state run in float32 regardless of input
 dtype (matching the f32-softmax policy of the einsum path); output is cast
-back to the value dtype. Requires D <= 128 (one lane tile); T/S are padded
-to block multiples with masking.
+back to the value dtype. D <= 512 (multi-lane-tile blocks; block sizes are
+capped harder for D > 128 so the q/k/v/acc VMEM buffers still fit — the
+VAE mid-block's single-head D=512 attention is the motivating shape);
+T/S are padded to block multiples with masking.
 """
 
 from __future__ import annotations
@@ -193,6 +195,10 @@ def _flash_bwd(block_q, block_kv, interpret, res, g):
     # independently of the forward blocks unless explicitly overridden,
     # under the same VMEM budget rule as the forward
     block_kv = min(block_kv, max(128, s))
+    if d > 128:
+        # dk/dv f32 accumulators are [bk, d] each: cap both blocks
+        block_kv = min(block_kv, 512)
+        block_q = min(block_q, 256)
     budget = (1 << 20) if q.dtype == jnp.bfloat16 else (1 << 19)
     cap = max(128, min(512, budget // block_kv))
     block_q = min(block_q, cap, max(128, t)) if block_q >= 512 \
@@ -294,13 +300,18 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     traffic is t*4 bytes per row, negligible)."""
     b, h, t, d = q.shape
     s = k.shape[2]
-    assert d <= 128, f"head dim {d} > 128: split heads further"
+    assert d <= 512, f"head dim {d} > 512: split heads further"
     block_kv = min(block_kv, max(128, s))
     # bound the [bq, bk] f32 logits/p tiles by a VMEM budget: larger q
     # blocks win (bq=1024 is 34% faster than 256 at T=1024 on v5e) until
     # the scoped-vmem limit (16M); f32 inputs double the k/v buffers, so
     # they get half the budget (the pre-tuning default bq=256 at bk=2048).
     budget = (1 << 21) if q.dtype == jnp.bfloat16 else (1 << 19)
+    if d > 128:
+        # q/k/v/acc blocks scale with d (the f32 acc alone is bq*d*4):
+        # shrink both blocks so total VMEM stays ~8 MB at d=512
+        block_kv = min(block_kv, 1024)
+        block_q = min(block_q, 256)
     block_q = min(block_q, max(128, t), max(128, budget // block_kv))
     scale = 1.0 / np.sqrt(d)
 

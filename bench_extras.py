@@ -32,9 +32,35 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "BENCH_EXTRAS.json")
 
 
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
 def _sync(x):
     leaf = jax.tree_util.tree_leaves(x)[0]
     np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+
+
+def _count_flops(fn, args, scan_len: int = 1) -> float:
+    """FLOPs of fn(*args) via an einsum-only compile (the bench.py method:
+    XLA bills Pallas custom calls at zero, so the count must come from a
+    flash-disabled twin; the TIMED program keeps the flash kernels). A
+    scan body is counted once by cost_analysis — scale by scan_len."""
+    prev = os.environ.get("ADT_FLASH_MIN_TOKENS")
+    os.environ["ADT_FLASH_MIN_TOKENS"] = str(1 << 30)
+    try:
+        # distinct lambda: jit trace caches are keyed on the callable, so
+        # reusing the timed function object would skip the env gate
+        counted = jax.jit(lambda *a: fn(*a)).lower(*args).compile()
+    finally:
+        if prev is None:
+            del os.environ["ADT_FLASH_MIN_TOKENS"]
+        else:
+            os.environ["ADT_FLASH_MIN_TOKENS"] = prev
+    return counted.cost_analysis().get("flops", 0.0) * scan_len
+
+
+def _mfu(flops: float, dt: float) -> float:
+    return flops / dt / 1e12 / V5E_PEAK_BF16_TFLOPS
 
 
 def _zeros_like_shapes(shapes):
@@ -114,8 +140,11 @@ def bench_lsun256():
         _sync(f(params, tables, jax.random.key(i)))
         times.append(time.time() - t0)
     dt = float(np.median(times))
+    flops = _count_flops(sample, (params, tables, jax.random.key(0)),
+                         scan_len=len(spec))
     return {"metric": "lsun256_searched_ddim15_sampling", "value":
-            round(B / dt, 2), "unit": "imgs/sec/chip", "batch": B}
+            round(B / dt, 2), "unit": "imgs/sec/chip", "batch": B,
+            "mfu": round(_mfu(flops, dt), 4)}
 
 
 def bench_sd():
@@ -147,8 +176,40 @@ def bench_sd():
         _sync(f(params, z, t, ctx, uc))
         times.append(time.time() - t0)
     dt = float(np.median(times))
+    flops = _count_flops(step, (params, z, t, ctx, uc))
     return {"metric": "sd_v1_cfg_denoise_step_batch6",
-            "value": round(dt * 1e3, 1), "unit": "ms/step"}
+            "value": round(dt * 1e3, 1), "unit": "ms/step",
+            "mfu": round(_mfu(flops, dt), 4)}
+
+
+def bench_sd_vae_decode():
+    """VAE 512px decode at the search batch (the second-largest cost of an
+    SD fitness candidate after the denoise steps)."""
+    from autodiffusion_tpu.models import AutoencoderKL
+
+    vae = AutoencoderKL(dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(lambda: vae.init(jax.random.key(0),
+                                             jnp.zeros((1, 32, 32, 3))))
+    params = _zeros_like_shapes(shapes)
+    jax.block_until_ready(params)
+    B = 6
+    z = jnp.zeros((B, 64, 64, 4))
+
+    def decode(params, z):
+        return vae.apply(params, z, method=vae.decode)
+
+    f = jax.jit(decode)
+    _sync(f(params, z))
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        _sync(f(params, z))
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    flops = _count_flops(decode, (params, z))
+    return {"metric": "sd_vae_decode_512px_batch6",
+            "value": round(dt * 1e3, 1), "unit": "ms/decode",
+            "mfu": round(_mfu(flops, dt), 4)}
 
 
 def bench_sd_fitness(chunk: int = 2, batch: int = 6):
@@ -204,6 +265,7 @@ BENCHES = {
     "adm_fitness_search": lambda: bench_adm_fitness(4, 100, n_batches=1),
     "lsun": bench_lsun256,
     "sd": bench_sd,
+    "sd_vae": bench_sd_vae_decode,
     "sd_fitness": bench_sd_fitness,
 }
 

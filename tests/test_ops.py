@@ -41,6 +41,44 @@ class TestFlashAttention:
                                    np.asarray(want, np.float32),
                                    atol=3e-2, rtol=3e-2)
 
+    def test_wide_head_dim_512(self):
+        """The VAE mid-block shape: single head, D=512 (> one lane tile).
+        Forward and backward must both match the einsum reference."""
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.randn(1, 1, 128, 512).astype(np.float32))
+        k = jnp.asarray(rng.randn(1, 1, 128, 512).astype(np.float32))
+        v = jnp.asarray(rng.randn(1, 1, 128, 512).astype(np.float32))
+        want = reference_attention(q, k, v)
+        got = flash_attention(q, k, v, block_q=64, block_kv=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-4, rtol=3e-4)
+
+        def loss_flash(q, k, v):
+            return flash_attention(q, k, v, block_q=64, block_kv=64,
+                                   interpret=True).sum()
+
+        def loss_ref(q, k, v):
+            return reference_attention(q, k, v).sum()
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-3, rtol=3e-3)
+
+    def test_vae_attn_flash_form_matches_einsum_form(self):
+        """The single-head [B,T,C] attention exactly as VAEAttnBlock frames
+        it for the kernel (q[:, None] etc.) == its einsum form."""
+        rng = np.random.RandomState(4)
+        q, k, v = (jnp.asarray(rng.randn(2, 1024, 48).astype(np.float32))
+                   for _ in range(3))
+        ein = jnp.einsum("btc,bsc->bts", q, k).astype(jnp.float32) * (48 ** -0.5)
+        ein = jnp.einsum("bts,bsc->btc", jax.nn.softmax(ein, axis=-1), v)
+        fl = flash_attention(q[:, None], k[:, None], v[:, None],
+                             block_q=256, block_kv=256, interpret=True)[:, 0]
+        np.testing.assert_allclose(np.asarray(fl), np.asarray(ein),
+                                   atol=2e-5, rtol=2e-5)
+
     def test_softmax_stability_large_logits(self):
         q = jnp.full((1, 1, 64, 32), 30.0)
         k = jnp.full((1, 1, 64, 32), 30.0)
