@@ -90,7 +90,7 @@ def _search_defaults():
 def cmd_search(args) -> int:
     import jax
     import jax.numpy as jnp
-    from ..fid import FIDStats, load_fid_inception_params, make_inception_feature_fn
+    from ..fid import FIDStats, load_fid_inception_params
     from ..models import (ClassifierConfig, ModelConfig, create_classifier,
                           create_model)
     from ..models.convert import (convert_classifier, convert_unet,
@@ -121,14 +121,18 @@ def cmd_search(args) -> int:
         cparams = _params_from(args.classifier_path, classifier,
                                _adm_init_args(cfg)[:2], convert_classifier)
 
-    feature_fn = make_inception_feature_fn(
-        load_fid_inception_params(args.inception_path))
+    # inception params are a jit ARGUMENT of the fitness chunk, never a
+    # feature_fn closure (constant-folding a 95 MB closure during lowering
+    # ballooned a full-scale search compile past 60 GB host RSS)
+    from ..fid.evaluator import inception_apply
+    iparams = load_fid_inception_params(args.inception_path)
     ref = FIDStats.load(args.ref_stats)
 
     joint = bool(args.use_dynamic_unet)
     fitness = make_adm_fitness(
         model=model, params=params, image_size=cfg.image_size,
-        feature_fn=feature_fn, ref_stats=ref, num_samples=args.num_samples,
+        feature_fn=inception_apply, feature_params=iparams,
+        ref_stats=ref, num_samples=args.num_samples,
         batch_size=args.batch_size, base_schedule=cfg.noise_schedule,
         classifier=classifier, classifier_params=cparams,
         classifier_scale=args.classifier_scale,
@@ -358,7 +362,7 @@ def cmd_search_sd(args) -> int:
     import jax
     import jax.numpy as jnp
     from ..data import load_captions
-    from ..fid import FIDStats, load_fid_inception_params, make_inception_feature_fn
+    from ..fid import FIDStats, load_fid_inception_params
     from ..search import (ContinuousTimeSpace, EvolutionSearcher, TimestepSpace)
     from ..search.sd_pipelines import make_sd_fitness
 
@@ -375,13 +379,14 @@ def cmd_search_sd(args) -> int:
     context_bank = jnp.concatenate(bank)
     uncond = encode(jnp.asarray(tok([""])))[0]
 
-    feature_fn = make_inception_feature_fn(
-        load_fid_inception_params(args.inception_path))
+    from ..fid.evaluator import inception_apply
+    iparams = load_fid_inception_params(args.inception_path)
     ref = FIDStats.load(args.ref_stats)
     fitness = make_sd_fitness(
         unet=unet, unet_params=uparams, vae=vae, vae_params=vparams,
         context_bank=context_bank, uncond_context=uncond,
-        feature_fn=feature_fn, ref_stats=ref, num_samples=args.num_samples,
+        feature_fn=inception_apply, feature_params=iparams,
+        ref_stats=ref, num_samples=args.num_samples,
         batch_size=args.batch_size, sampler=args.sampler,
         guidance_scale=args.scale, latent_hw=args.H // 8,
         candidate_chunk=args.candidate_chunk, seed=args.seed)

@@ -22,7 +22,13 @@ __all__ = ["FIDEvaluator", "make_inception_feature_fn"]
 
 
 def make_inception_feature_fn(params: dict, *, resize_to: int = 299) -> Callable:
-    """feature_fn(uint8 NHWC [B,H,W,3]) -> dict(pool3, spatial, logits)."""
+    """feature_fn(uint8 NHWC [B,H,W,3]) -> dict(pool3, spatial, logits).
+
+    For TOP-LEVEL use (FIDEvaluator batch loops). Do NOT call the returned
+    closure inside another jit: the bound params become trace-time
+    constants there — pass :func:`inception_apply` + explicit params to
+    BatchedFIDFitness instead (observed failure: host constant folding of
+    the weight casts ballooned a search compile past 60 GB RSS)."""
     model = FIDInceptionV3()
 
     @jax.jit
@@ -30,6 +36,14 @@ def make_inception_feature_fn(params: dict, *, resize_to: int = 299) -> Callable
         return model.apply(params, preprocess(images_uint8, resize_to))
 
     return feature_fn
+
+
+def inception_apply(params: dict, images_uint8, *,
+                    resize_to: int = 299):
+    """Pure two-argument Inception feature fn for use INSIDE other jitted
+    programs (the fitness chunk): params stay jit ARGUMENTS, never closure
+    constants (the repo-wide tunneled-TPU rule, search/fitness.py)."""
+    return FIDInceptionV3().apply(params, preprocess(images_uint8, resize_to))
 
 
 class FIDEvaluator:

@@ -63,6 +63,7 @@ class BatchedFIDFitness:
                  feature_fn: Callable, ref_stats: FIDStats,
                  num_samples: int, batch_size: int,
                  static_payload: Any = (),
+                 feature_params: Any = None,
                  candidate_chunk: int = 8, feature_dim: int = 2048,
                  seed: int = 0, device_frechet: bool = True,
                  group_key_fn: Optional[Callable] = None,
@@ -100,6 +101,16 @@ class BatchedFIDFitness:
         self.place_fn = place_fn
         self.static_payload = (place_fn(static_payload) if place_fn
                                else static_payload)
+        # feature-extractor params are a jit ARGUMENT of the chunk program,
+        # like static_payload — a feature_fn that closes over 95 MB of
+        # Inception weights turns them into trace-time constants inside
+        # chunk_step, and host constant-folding of their dtype casts was
+        # observed to balloon a full-scale search compile past 60 GB RSS.
+        # feature_params=None keeps the legacy one-arg feature_fn(imgs)
+        # protocol (stub features in tests).
+        self._feature_takes_params = feature_params is not None
+        self.feature_params = (place_fn(feature_params) if place_fn and
+                               self._feature_takes_params else feature_params)
         self.candidate_chunk = candidate_chunk
         self.feature_dim = feature_dim
         self.seed = seed
@@ -120,10 +131,15 @@ class BatchedFIDFitness:
         self._device_frechet = (make_device_frechet(ref_stats)
                                 if device_frechet else None)
 
-        def chunk_step(static, per_sample_payload, stats, shift, rng, batch_idx):
+        takes_params = self._feature_takes_params
+
+        def chunk_step(static, fparams, per_sample_payload, stats, shift,
+                       rng, batch_idx):
             c = stats.n.shape[0]
             imgs = sample_fn(static, per_sample_payload, rng, batch_idx)
-            feats = feature_fn(imgs)["pool3"].astype(stats.s1.dtype)
+            out = feature_fn(fparams, imgs) if takes_params else \
+                feature_fn(imgs)
+            feats = out["pool3"].astype(stats.s1.dtype)
             feats = feats - shift.astype(feats.dtype)
             b = feats.shape[0] // c
             by_cand = feats.reshape(c, b, -1)
@@ -197,8 +213,8 @@ class BatchedFIDFitness:
             for b in range(n_batches):
                 rng = jax.random.fold_in(
                     jax.random.fold_in(base_rng, self._eval_count), b)
-                args = (self.static_payload, per_sample, stats, self._shift,
-                        rng, jnp.int32(b))
+                args = (self.static_payload, self.feature_params, per_sample,
+                        stats, self._shift, rng, jnp.int32(b))
                 if self.place_fn is not None:
                     args = self.place_fn(args)
                 stats = self._chunk_step(*args)

@@ -34,6 +34,7 @@ def keep_masks_for(skip_layers: Sequence[Sequence[int]], layer_num: int) -> np.n
 def make_adm_fitness(*, model, params, image_size: int,
                      feature_fn: Callable, ref_stats: FIDStats,
                      num_samples: int, batch_size: int,
+                     feature_params=None,
                      base_schedule: str = "cosine", base_num_steps: int = 1000,
                      classifier=None, classifier_params=None,
                      classifier_scale: float = 1.0,
@@ -111,5 +112,6 @@ def make_adm_fitness(*, model, params, image_size: int,
         payload_fn=payload_fn, sample_fn=sample_fn, feature_fn=feature_fn,
         ref_stats=ref_stats, num_samples=num_samples, batch_size=batch_size,
         static_payload=(params, classifier_params),
+        feature_params=feature_params,
         candidate_chunk=candidate_chunk, seed=seed, feature_dim=feature_dim,
         max_device_batch=max_device_batch, place_fn=place_fn)

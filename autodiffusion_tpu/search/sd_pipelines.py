@@ -60,6 +60,7 @@ def make_sd_fitness(*, unet, unet_params, vae, vae_params,
                     context_bank: jnp.ndarray, uncond_context: jnp.ndarray,
                     feature_fn: Callable, ref_stats: FIDStats,
                     num_samples: int, batch_size: int,
+                    feature_params=None,
                     sampler: str = "plms",            # ddim | plms | dpm_solver
                     guidance_scale: float = 7.5,
                     latent_hw: int = 64, latent_ch: int = 4,
@@ -119,5 +120,6 @@ def make_sd_fitness(*, unet, unet_params, vae, vae_params,
         payload_fn=payload_fn, sample_fn=sample_fn, feature_fn=feature_fn,
         ref_stats=ref_stats, num_samples=num_samples, batch_size=batch_size,
         static_payload=(unet_params, vae_params, context_bank, uncond_context),
+        feature_params=feature_params,
         candidate_chunk=candidate_chunk, seed=seed, feature_dim=feature_dim,
         max_device_batch=max_device_batch)

@@ -88,10 +88,11 @@ def bench_adm_fitness(chunk: int, batch: int, n_batches: int = 2):
     jax.block_until_ready((params, cparams, iparams))
 
     ref = FIDStats(np.zeros(2048), np.eye(2048))
-    feature_fn = make_inception_feature_fn(iparams)
+    from autodiffusion_tpu.fid.evaluator import inception_apply
     num_samples = batch * n_batches
     fitness = make_adm_fitness(
-        model=model, params=params, image_size=64, feature_fn=feature_fn,
+        model=model, params=params, image_size=64,
+        feature_fn=inception_apply, feature_params=iparams,
         ref_stats=ref, num_samples=num_samples, batch_size=batch,
         classifier=clf, classifier_params=cparams, classifier_scale=1.0,
         num_classes=1000, candidate_chunk=chunk, seed=0)
@@ -220,6 +221,7 @@ def bench_sd_fitness(chunk: int = 2, batch: int = 6):
     from autodiffusion_tpu.fid import (FIDInceptionV3, FIDStats,
                                        make_inception_feature_fn)
     from autodiffusion_tpu.models import AutoencoderKL, SDUNetModel
+    from autodiffusion_tpu.fid.evaluator import inception_apply
     from autodiffusion_tpu.search.sd_pipelines import make_sd_fitness
 
     unet = SDUNetModel(dtype=jnp.bfloat16)
@@ -240,7 +242,7 @@ def bench_sd_fitness(chunk: int = 2, batch: int = 6):
         unet=unet, unet_params=uparams, vae=vae, vae_params=vparams,
         context_bank=jnp.zeros((16, 77, 768)),
         uncond_context=jnp.zeros((77, 768)),
-        feature_fn=make_inception_feature_fn(iparams), ref_stats=ref,
+        feature_fn=inception_apply, feature_params=iparams, ref_stats=ref,
         num_samples=num_samples, batch_size=batch, sampler="plms",
         candidate_chunk=chunk, seed=0)
     # published searched 4-step artifact-style candidate (ints for plms)

@@ -206,6 +206,25 @@ class TestBatchedFitness:
         assert self._fitness(candidate_chunk=4, batch_size=100,
                              max_device_batch=0).device_batch == 100
 
+    def test_feature_params_threaded_as_argument(self):
+        """feature_params + two-arg feature_fn(params, imgs) gives the
+        same FIDs as a closure-bound one-arg feature_fn — the protocol
+        the CLIs use so 95 MB of Inception weights enter the chunk
+        program as a jit ARGUMENT, never a trace-time constant."""
+        fp = {"scale": jnp.float32(2.0)}
+
+        def two_arg(p, imgs):
+            x = imgs.astype(jnp.float32).reshape(imgs.shape[0], -1)
+            return {"pool3": x[:, :8] * p["scale"]}
+
+        def bound(imgs):
+            return two_arg(fp, imgs)
+
+        cands = [(500, 1), (450, 2), (990, 3)]
+        a = self._fitness(feature_fn=bound)(cands)
+        b = self._fitness(feature_fn=two_arg, feature_params=fp)(cands)
+        np.testing.assert_array_equal(a, b)
+
     def test_resume_is_bitwise_at_fitness_level(self, tmp_path):
         """A resumed search scores FRESH candidates with the same noise
         stream as an uninterrupted run: the fitness eval counter is part
