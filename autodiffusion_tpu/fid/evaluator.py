@@ -8,6 +8,7 @@ of a host TF1 session.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -38,11 +39,18 @@ def make_inception_feature_fn(params: dict, *, resize_to: int = 299) -> Callable
     return feature_fn
 
 
-def inception_apply(params: dict, images_uint8, *,
-                    resize_to: int = 299):
+@functools.partial(jax.jit, static_argnames="resize_to")
+def inception_apply(params: dict, images_uint8, resize_to: int = 299):
     """Pure two-argument Inception feature fn for use INSIDE other jitted
     programs (the fitness chunk): params stay jit ARGUMENTS, never closure
-    constants (the repo-wide tunneled-TPU rule, search/fitness.py)."""
+    constants (the repo-wide tunneled-TPU rule, search/fitness.py).
+
+    Deliberately jitted: called under an outer trace this stays a nested
+    pjit call, so XLA keeps InceptionV3 a separate sub-computation instead
+    of inlining ~300 conv ops into the sampler scan + classifier-VJP
+    program — the inlined form made the TPU compiler balloon past 45 GB
+    host RSS without terminating (measured; the bounded-call form
+    compiles the full search chunk in ~6 min)."""
     return FIDInceptionV3().apply(params, preprocess(images_uint8, resize_to))
 
 
