@@ -159,23 +159,28 @@ def make_device_frechet(ref_stats: FIDStats):
     import jax
 
     w, v = np.linalg.eigh(np.asarray(ref_stats.sigma, np.float64))
-    sqrt_ref = (v * np.sqrt(np.maximum(w, 0.0))) @ v.T
-    sqrt_ref = jnp.asarray(sqrt_ref, jnp.float32)
+    sqrt_ref_host = (v * np.sqrt(np.maximum(w, 0.0))) @ v.T
+    # sqrt_ref MUST be a jit ARGUMENT, not a closure capture: a closed-over
+    # [2048, 2048] dense array becomes a 16 MB trace-time constant, and XLA's
+    # constant handling of dense random data was measured to balloon this
+    # program's compile to ~18 min / tens of GB host RSS on a full-scale
+    # search (an np.eye ref folds trivially, which hid this in the bench).
+    sqrt_ref = jax.device_put(np.asarray(sqrt_ref_host, np.float32))
     tr_ref = float(np.trace(ref_stats.sigma))
 
-    def one(n, s1, s2):
+    def one(sq, n, s1, s2):
         mu_delta = s1 / n                       # == mu - mu_ref (centered)
         sigma = (s2 - n * jnp.outer(mu_delta, mu_delta)) / (n - 1.0)
-        inner = sqrt_ref @ sigma @ sqrt_ref
+        inner = sq @ sigma @ sq
         ev = jnp.linalg.eigvalsh((inner + inner.T) / 2.0)
         tr_sqrt = jnp.sqrt(jnp.maximum(ev, 0.0)).sum()
         return (mu_delta @ mu_delta + jnp.trace(sigma) + tr_ref
                 - 2.0 * tr_sqrt)
 
-    batched = jax.jit(jax.vmap(one))
+    batched = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
 
     def fn(stats: FeatureStats) -> np.ndarray:
-        return np.asarray(batched(stats.n, stats.s1, stats.s2))
+        return np.asarray(batched(sqrt_ref, stats.n, stats.s1, stats.s2))
 
     return fn
 
