@@ -99,8 +99,17 @@ class BatchedFIDFitness:
         # don't need it. Mirrors the reference's rank-sharded sampling +
         # all_gather (search_imagenet64_classifier_guidance.py:356-366).
         self.place_fn = place_fn
-        self.static_payload = (place_fn(static_payload) if place_fn
-                               else static_payload)
+        # Without an explicit place_fn, commit the big dispatch arguments
+        # (model/classifier/Inception params — ~1.4 GB for full-scale
+        # ADM-64) to device ONCE here: host-numpy jit arguments are
+        # re-staged on EVERY chunk dispatch, which over the tunneled TPU
+        # runtime dominated a full-scale search's wall clock and host RSS.
+        if place_fn is None:
+            import jax as _jax
+            place_fn_eff = _jax.device_put
+        else:
+            place_fn_eff = place_fn
+        self.static_payload = place_fn_eff(static_payload)
         # feature-extractor params are a jit ARGUMENT of the chunk program,
         # like static_payload — a feature_fn that closes over 95 MB of
         # Inception weights turns them into trace-time constants inside
@@ -109,8 +118,9 @@ class BatchedFIDFitness:
         # feature_params=None keeps the legacy one-arg feature_fn(imgs)
         # protocol (stub features in tests).
         self._feature_takes_params = feature_params is not None
-        self.feature_params = (place_fn(feature_params) if place_fn and
-                               self._feature_takes_params else feature_params)
+        self.feature_params = (place_fn_eff(feature_params)
+                               if self._feature_takes_params
+                               else feature_params)
         self.candidate_chunk = candidate_chunk
         self.feature_dim = feature_dim
         self.seed = seed
