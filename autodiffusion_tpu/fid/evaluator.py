@@ -19,7 +19,7 @@ from .inception import FIDInceptionV3, preprocess
 from .stats import (FeatureStats, FIDStats, accumulate_stats, finalize_stats,
                     frechet_distance, inception_score)
 
-__all__ = ["FIDEvaluator", "make_inception_feature_fn"]
+__all__ = ["FIDEvaluator", "make_inception_feature_fn", "inception_apply"]
 
 
 def make_inception_feature_fn(params: dict, *, resize_to: int = 299) -> Callable:

@@ -33,14 +33,8 @@ class CrossAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     def _flash_enabled(self, tq: int, ts: int) -> bool:
-        # the Pallas kernel lowers only on TPU — an explicit use_flash=True
-        # on CPU/GPU would crash in Mosaic, so the backend gate applies to
-        # both modes (the fused-norm path guards the same way, nn.py)
-        if jax.default_backend() != "tpu" or self.dim_head > 128:
-            return False
-        if self.use_flash == "auto":
-            return tq >= 1024 and ts >= 512
-        return bool(self.use_flash)
+        from ..ops import resolve_use_flash
+        return resolve_use_flash(self.use_flash, tq, ts, self.dim_head)
 
     @nn.compact
     def __call__(self, x, context=None):

@@ -171,14 +171,8 @@ class AttentionBlock(nn.Module):
             heads = c // self.num_head_channels
         hd = c // heads
         tokens = hgt * wid
-        if jax.default_backend() != "tpu" or hd > 128:
-            flash = False      # Pallas kernel lowers only on TPU
-        elif self.use_flash == "auto":
-            import os
-            min_tokens = int(os.environ.get("ADT_FLASH_MIN_TOKENS", "1024"))
-            flash = tokens >= min_tokens
-        else:
-            flash = bool(self.use_flash)
+        from ..ops import resolve_use_flash
+        flash = resolve_use_flash(self.use_flash, tokens, tokens, hd)
 
         xf = x.reshape(b, hgt * wid, c)
         qkv = nn.DenseGeneral(3 * c, dtype=self.dtype, name="qkv")(

@@ -72,11 +72,10 @@ class VAEAttnBlock(nn.Module):
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h).reshape(b, hh * ww, c)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h).reshape(b, hh * ww, c)
         t = hh * ww
-        if self.use_flash == "auto":
-            flash = (jax.default_backend() == "tpu" and c <= 512
-                     and t >= 1024)
-        else:
-            flash = bool(self.use_flash)
+        # single-head attention over c-dim tokens: the kernel's D ceiling
+        # is 512 here (multi-lane-tile blocks), vs 128 for multi-head sites
+        from ..ops import resolve_use_flash
+        flash = resolve_use_flash(self.use_flash, t, t, c, max_head_dim=512)
         if flash:
             from ..ops import flash_attention
             h = flash_attention(q[:, None], k[:, None], v[:, None]

@@ -1,8 +1,8 @@
 """Pallas TPU kernels for the hot compute paths."""
 
-from .flash_attention import flash_attention
+from .flash_attention import flash_attention, resolve_use_flash
 from .fused_norm import (fused_group_norm, fused_norm_available,
                          group_norm_reference)
 
-__all__ = ["flash_attention", "fused_group_norm", "fused_norm_available",
+__all__ = ["flash_attention", "resolve_use_flash", "fused_group_norm", "fused_norm_available",
            "group_norm_reference"]

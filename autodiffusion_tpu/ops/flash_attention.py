@@ -30,9 +30,35 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention"]
+__all__ = ["flash_attention", "resolve_use_flash"]
 
 _NEG_INF = -1e30
+
+
+def resolve_use_flash(use_flash, tq: int, ts: int, head_dim: int, *,
+                      max_head_dim: int = 128) -> bool:
+    """Resolve a module's use_flash setting ("auto" | True | False) to a bool.
+
+    The ONE gate shared by every attention site (ADM AttentionBlock, SD
+    CrossAttention, VAEAttnBlock) so they cannot drift. Hard constraints
+    apply even to an explicit True: the Pallas kernel lowers only on TPU,
+    and only for head_dim <= max_head_dim (128 for multi-head layers; the
+    VAE mid-block passes 512, the kernel's single-head ceiling).
+
+    "auto" additionally requires tq >= ADT_FLASH_MIN_TOKENS (default 1024,
+    below which kernel dispatch overhead beats the einsum logits traffic —
+    BENCH_NOTES.md ledger) and ts >= min(512, that). Benches set the env
+    var to 1<<30 to compile an einsum-only twin of the same math purely to
+    COUNT flops (XLA bills Pallas custom calls at zero), so every "auto"
+    site MUST consult it or MFU numbers silently undercount.
+    """
+    if jax.default_backend() != "tpu" or head_dim > max_head_dim:
+        return False
+    if use_flash == "auto":
+        import os
+        min_tokens = int(os.environ.get("ADT_FLASH_MIN_TOKENS", "1024"))
+        return tq >= min_tokens and ts >= min(512, min_tokens)
+    return bool(use_flash)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i, *,

@@ -104,11 +104,7 @@ class BatchedFIDFitness:
         # ADM-64) to device ONCE here: host-numpy jit arguments are
         # re-staged on EVERY chunk dispatch, which over the tunneled TPU
         # runtime dominated a full-scale search's wall clock and host RSS.
-        if place_fn is None:
-            import jax as _jax
-            place_fn_eff = _jax.device_put
-        else:
-            place_fn_eff = place_fn
+        place_fn_eff = jax.device_put if place_fn is None else place_fn
         self.static_payload = place_fn_eff(static_payload)
         # feature-extractor params are a jit ARGUMENT of the chunk program,
         # like static_payload — a feature_fn that closes over 95 MB of
@@ -219,15 +215,27 @@ class BatchedFIDFitness:
         )
         n_batches = -(-self.num_samples // self.device_batch)
         base_rng = jax.random.key(self.seed)
+        # static_payload/feature_params were globalized ONCE at
+        # construction, and stats re-enters as a chunk_step OUTPUT already
+        # carrying the global sharding — so only the fresh per-chunk leaves
+        # are placed here. Re-placing the params every dispatch would
+        # round-trip ~1.4 GB through host per batch on a multi-process
+        # mesh and block on the previous chunk's result.
+        shift = self._shift
+        if self.place_fn is not None:
+            per_sample = self.place_fn(per_sample)
+            stats = self.place_fn(stats)
+            shift = self.place_fn(shift)
         with jax.profiler.TraceAnnotation("fitness_sample"):
             for b in range(n_batches):
                 rng = jax.random.fold_in(
                     jax.random.fold_in(base_rng, self._eval_count), b)
-                args = (self.static_payload, self.feature_params, per_sample,
-                        stats, self._shift, rng, jnp.int32(b))
+                extra = (rng, jnp.int32(b))
                 if self.place_fn is not None:
-                    args = self.place_fn(args)
-                stats = self._chunk_step(*args)
+                    extra = self.place_fn(extra)
+                stats = self._chunk_step(self.static_payload,
+                                         self.feature_params, per_sample,
+                                         stats, shift, *extra)
             stats = jax.block_until_ready(stats)
         self._eval_count += 1
         sample_time = time.time() - t0

@@ -69,8 +69,7 @@ def _zeros_like_shapes(shapes):
 
 def bench_adm_fitness(chunk: int, batch: int, n_batches: int = 2):
     """Full fitness: sampling + inception + moments + frechet per candidate."""
-    from autodiffusion_tpu.fid import (FIDInceptionV3, FIDStats,
-                                       make_inception_feature_fn)
+    from autodiffusion_tpu.fid import FIDInceptionV3, FIDStats
     from autodiffusion_tpu.models import (ClassifierConfig, ModelConfig,
                                           create_classifier, create_model)
     from autodiffusion_tpu.search import TimestepSpace, make_adm_fitness
@@ -218,8 +217,7 @@ def bench_sd_fitness(chunk: int = 2, batch: int = 6):
     PLMS CFG sampling + VAE 512px decode + InceptionV3 + moments +
     Frechet per candidate (sd/scripts/search_ea.py get_cand_fid)."""
     K = 4
-    from autodiffusion_tpu.fid import (FIDInceptionV3, FIDStats,
-                                       make_inception_feature_fn)
+    from autodiffusion_tpu.fid import FIDInceptionV3, FIDStats
     from autodiffusion_tpu.models import AutoencoderKL, SDUNetModel
     from autodiffusion_tpu.fid.evaluator import inception_apply
     from autodiffusion_tpu.search.sd_pipelines import make_sd_fitness
