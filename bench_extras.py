@@ -170,12 +170,16 @@ def bench_sd():
     z = jnp.zeros((B, 64, 64, 4))
     t = jnp.full((B,), 500.0)
     _sync(f(params, z, t, ctx, uc))
-    times = []
-    for _ in range(5):
-        t0 = time.time()
-        _sync(f(params, z, t, ctx, uc))
-        times.append(time.time() - t0)
-    dt = float(np.median(times))
+    # chain the step through its own output and sync ONCE: a sync per call
+    # pays the ~30 ms tunnel dispatch overhead every iteration (environment
+    # quirk #4), inflating a ~120 ms step by ~20%
+    R = 10
+    t0 = time.time()
+    zc = z
+    for _ in range(R):
+        zc = f(params, zc, t, ctx, uc)
+    _sync(zc)
+    dt = (time.time() - t0) / R
     flops = _count_flops(step, (params, z, t, ctx, uc))
     return {"metric": "sd_v1_cfg_denoise_step_batch6",
             "value": round(dt * 1e3, 1), "unit": "ms/step",
@@ -200,12 +204,13 @@ def bench_sd_vae_decode():
 
     f = jax.jit(decode)
     _sync(f(params, z))
-    times = []
-    for _ in range(5):
-        t0 = time.time()
-        _sync(f(params, z))
-        times.append(time.time() - t0)
-    dt = float(np.median(times))
+    # queue all calls, sync once (decode output isn't chainable; async
+    # dispatch still overlaps the tunnel's per-call overhead)
+    R = 8
+    t0 = time.time()
+    outs = [f(params, z) for _ in range(R)]
+    _sync(outs[-1])
+    dt = (time.time() - t0) / R
     flops = _count_flops(decode, (params, z))
     return {"metric": "sd_vae_decode_512px_batch6",
             "value": round(dt * 1e3, 1), "unit": "ms/decode",
