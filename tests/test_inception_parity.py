@@ -124,3 +124,23 @@ class TestSelftestCLI:
         assert got["checks"]["feature_parity_299"]["ok"]
         assert got["checks"]["feature_parity_64"]["ok"]
         assert got["checks"]["fid_reproduction"]["ok"], got["checks"]
+
+    def test_selftest_rejects_lone_ref_batch(self, paired_models,
+                                             tmp_path_factory, tmp_path):
+        """--ref_batch without --ref_stats (and vice versa) must error
+        rather than silently skipping the published-artifact check."""
+        import numpy as np
+        import pytest
+
+        from autodiffusion_tpu.fid.selftest import run_selftest
+
+        path = None
+        for d in tmp_path_factory.getbasetemp().glob("fid*/pt_inception_fake.pth"):
+            path = str(d)
+        assert path is not None
+        rb = str(tmp_path / "rb.npz")
+        np.savez(rb, arr_0=np.zeros((4, 64, 64, 3), np.uint8))
+        with pytest.raises(ValueError, match="together"):
+            run_selftest(path, ref_batch=rb)
+        with pytest.raises(ValueError, match="together"):
+            run_selftest(path, ref_stats=rb)

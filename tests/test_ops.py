@@ -147,3 +147,35 @@ class TestFlashAttention:
             np.testing.assert_allclose(np.asarray(got, np.float32),
                                        np.asarray(want, np.float32),
                                        atol=6e-2, rtol=6e-2)
+
+
+class TestResolveUseFlash:
+    """The unified gate (ops.resolve_use_flash) shared by every attention
+    site; the env var must be honored everywhere or the benches' einsum-twin
+    FLOP counting silently keeps zero-billed Pallas calls."""
+
+    def test_non_tpu_backend_forces_einsum_even_when_explicit(self):
+        from autodiffusion_tpu.ops import resolve_use_flash
+        assert jax.default_backend() != "tpu"
+        assert resolve_use_flash("auto", 4096, 4096, 64) is False
+        assert resolve_use_flash(True, 4096, 4096, 64) is False
+
+    def test_auto_honors_min_tokens_env(self, monkeypatch):
+        from autodiffusion_tpu.ops import resolve_use_flash
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert resolve_use_flash("auto", 1024, 1024, 64) is True
+        assert resolve_use_flash("auto", 1024, 512, 64) is True
+        assert resolve_use_flash("auto", 512, 512, 64) is False
+        monkeypatch.setenv("ADT_FLASH_MIN_TOKENS", str(1 << 30))
+        # the benches' counting twin: every site must fall to einsum
+        assert resolve_use_flash("auto", 4096, 4096, 64) is False
+        assert resolve_use_flash("auto", 4096, 4096, 512) is False
+        monkeypatch.setenv("ADT_FLASH_MIN_TOKENS", "256")
+        assert resolve_use_flash("auto", 256, 256, 64) is True
+
+    def test_head_dim_ceiling(self, monkeypatch):
+        from autodiffusion_tpu.ops import resolve_use_flash
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert resolve_use_flash(True, 4096, 4096, 129) is False
+        assert resolve_use_flash(True, 4096, 4096, 512,
+                                 max_head_dim=512) is True

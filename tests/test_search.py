@@ -268,6 +268,19 @@ class TestBatchedFitness:
         np.testing.assert_allclose(a, b, rtol=1e-3)
 
 
+    def test_static_payload_committed_to_device_once(self):
+        """CLI loaders hand host-numpy checkpoint params straight to the
+        fitness; without an explicit place_fn they must be committed to
+        device at construction (host-numpy jit arguments are re-staged on
+        EVERY chunk dispatch — ~1.4 GB per call at full ADM-64 scale)."""
+        W = np.ones((4, 4), np.float32)          # host numpy, like a loader
+        fit = self._fitness(static_payload=W)
+        assert isinstance(fit.static_payload, jax.Array)
+        fit2 = self._fitness(static_payload=W,
+                             feature_params={"w": np.ones((2,), np.float32)})
+        assert isinstance(fit2.feature_params["w"], jax.Array)
+
+
 class TestEndToEndTinySearch:
     def test_adm_pipeline_runs(self):
         """Tiny UNet + pixel-stub features: full EA loop end to end."""
