@@ -183,10 +183,15 @@ def cmd_sample(args) -> int:
     from ..models.convert import (convert_classifier, convert_unet,
                                   load_torch_state_dict)
     from ..samplers import classifier_cond_fn, ddim_sample_loop, p_sample_loop
+    from ..samplers.diffusion import ModelVarType
     from ..search import parse_timestep_string
     from ..search.pipelines import keep_masks_for
     from ..search.fitness import to_uint8
 
+    if args.classifier_path and not args.class_cond:
+        raise ValueError("classifier guidance requires --class_cond True "
+                         "(the guidance log-prob is taken at the sampled "
+                         "class labels)")
     cfg = ModelConfig(
         image_size=args.image_size, num_channels=args.num_channels,
         num_res_blocks=args.num_res_blocks,
@@ -209,9 +214,14 @@ def cmd_sample(args) -> int:
     if args.skip_layers:
         import ast
         skips = ast.literal_eval(args.skip_layers)
+        if len(skips) != tables.num_steps:
+            raise ValueError(
+                f"--skip_layers has {len(skips)} entries but the schedule "
+                f"has {tables.num_steps} steps; inside the jitted scan an "
+                "out-of-bounds keep[i] would silently clamp to the last "
+                "mask instead of failing")
         keep = jnp.asarray(keep_masks_for(skips, model.layer_num))
 
-    cond = None
     if args.classifier_path:
         ccfg = ClassifierConfig.adm64(image_size=args.image_size)
         classifier = create_classifier(ccfg)
@@ -245,10 +255,15 @@ def cmd_sample(args) -> int:
         loop = ddim_sample_loop if args.use_ddim else p_sample_loop
         shape = (args.batch_size, cfg.image_size, cfg.image_size, 3)
         rng_noise, step_rng = jax.random.split(step_rng)
+        # learn_sigma=False models emit 3 channels: the reference's
+        # create_gaussian_diffusion falls back to FIXED_LARGE variance
+        # (script_util.py), as cmd_train already maps
+        var_type = (ModelVarType.LEARNED_RANGE if cfg.learn_sigma
+                    else ModelVarType.FIXED_LARGE)
         with mesh:
             noise = shard_fn(jax.random.normal(rng_noise, shape))
             x0 = loop(model_fn, shape, tables, rng=step_rng, cond_fn=cond_fn,
-                      noise=noise)
+                      var_type=var_type, noise=noise)
             imgs = to_uint8(x0)
         all_imgs.append(np.asarray(imgs))
         if y is not None:
@@ -277,6 +292,7 @@ def cmd_sr_sample(args) -> int:
     from ..models import ModelConfig, create_sr_model, create_tables
     from ..search.fitness import to_uint8
     from ..samplers import ddim_sample_loop, p_sample_loop
+    from ..samplers.diffusion import ModelVarType
 
     cfg = ModelConfig(image_size=args.large_size,
                       num_channels=args.num_channels,
@@ -316,17 +332,31 @@ def cmd_sr_sample(args) -> int:
         y = (jnp.asarray(labels[:n], jnp.int32) if labels is not None
              else jnp.zeros((n,), jnp.int32))
 
-    def model_fn(x, t, i):
-        a = [x, t, low]
-        if y is not None:
-            a.append(y)
-        return sr.apply(params, *a)
-
     loop = ddim_sample_loop if args.use_ddim else p_sample_loop
-    x0 = loop(model_fn, (n, args.large_size, args.large_size, 3), tables,
-              rng=jax.random.key(args.seed))
+    var_type = (ModelVarType.LEARNED_RANGE if cfg.learn_sigma
+                else ModelVarType.FIXED_LARGE)
+    # stream in batches like the reference super_res_sample.py loop — one
+    # giant (N, 256, 256, 3) scan would blow the 16 GB HBM at real N
+    bs = min(args.batch_size, n)
+    outs = []
+    for j in range(0, n, bs):
+        low_j = low[j:j + bs]
+        y_j = None if y is None else y[j:j + bs]
+
+        def model_fn(x, t, i, low_j=low_j, y_j=y_j):
+            a = [x, t, low_j]
+            if y_j is not None:
+                a.append(y_j)
+            return sr.apply(params, *a)
+
+        x0 = loop(model_fn,
+                  (low_j.shape[0], args.large_size, args.large_size, 3),
+                  tables, rng=jax.random.key(args.seed + j),
+                  var_type=var_type)
+        outs.append(np.asarray(to_uint8(x0)))
+        logger.log(f"super-resolved {j + low_j.shape[0]}/{n}")
     out = args.out or "sr_samples.npz"
-    np.savez(out, arr_0=np.asarray(to_uint8(x0)))
+    np.savez(out, arr_0=np.concatenate(outs))
     print(f"saved {n} super-resolved samples to {out}")
     return 0
 
@@ -413,7 +443,6 @@ def cmd_txt2img(args) -> int:
     import ast
     import jax
     import jax.numpy as jnp
-    from ..models.vae import SD_SCALE_FACTOR
     from ..samplers import (DiscreteNoiseSchedule, cfg_eps_fn,
                             ddim_sample_loop, dpm_solver_sample_loop,
                             plms_sample_loop)
@@ -421,11 +450,15 @@ def cmd_txt2img(args) -> int:
     from ..schedules import build_sd_tables, make_beta_schedule
     from ..search.sd_pipelines import sd_decode_to_uint8
 
-    unet, uparams, vae, vparams, clip, cparams, tok = _sd_stack(args)
     prompts = [args.prompt] * args.n_samples if args.prompt else []
     if args.from_file:
         with open(args.from_file) as f:
             prompts = [l.strip() for l in f if l.strip()]
+    if not prompts:
+        print("no prompts: pass --prompt or a non-empty --from_file "
+              "(writing a 0-sample npz would only fail downstream)")
+        return 1
+    unet, uparams, vae, vparams, clip, cparams, tok = _sd_stack(args)
     # one empty-prompt uncond row (cfg_eps_fn broadcasts it) and
     # n_samples-sized sampling batches — a 30K-caption --from_file must
     # not become one giant CFG batch (the reference iterates the loader
@@ -447,23 +480,26 @@ def cmd_txt2img(args) -> int:
         steps = ast.literal_eval(args.timesteps)
     else:
         steps = None
-    # a short mask would silently clamp to its last entry under traced
-    # indexing, skewing the ablation — fail loud instead
-    n_steps = len(steps) if steps else args.steps
-    if pmask is not None and pmask.shape[0] != n_steps:
-        print(f"--prompt_mask has {pmask.shape[0]} entries but the "
-              f"schedule has {n_steps} steps")
-        return 1
     if args.sampler == "dpm_solver":
         betas = make_beta_schedule("sqrt_linear", 1000)
         sched = DiscreteNoiseSchedule.from_betas(betas)
         times = (jnp.asarray(sorted(steps, reverse=True), jnp.float32)
                  if steps else jnp.linspace(1.0, 1e-3, args.steps + 1))
         tables = None
+        n_steps = None
     else:
         from ..schedules import make_ddim_timesteps
         use = steps if steps else make_ddim_timesteps("uniform", args.steps, 1000)
         tables = build_sd_tables(use)
+        n_steps = tables.num_steps
+    # a short mask would silently clamp to its last entry under traced
+    # indexing, skewing the ablation — fail loud instead. Validate
+    # against the BUILT schedule, not args.steps: the uniform grid can
+    # produce a different count (make_ddim_timesteps docstring)
+    if pmask is not None and pmask.shape[0] != n_steps:
+        print(f"--prompt_mask has {pmask.shape[0]} entries but the "
+              f"schedule has {n_steps} steps")
+        return 1
 
     all_imgs = []
     rng = jax.random.key(args.seed)
@@ -514,14 +550,18 @@ def cmd_img2img(args) -> int:
     img = Image.open(args.init_img).convert("RGB")
     img = img.resize((args.W, args.H), Image.LANCZOS)
     x = jnp.asarray(np.array(img), jnp.float32)[None] / 127.5 - 1.0
-    mean, _ = vae.apply(vparams, x, method=vae.encode)
-    z0 = mean * SD_SCALE_FACTOR
     n = args.n_samples
-    z0 = jnp.tile(z0, (n, 1, 1, 1))
+    rng = jax.random.key(args.seed)
+    # reference get_first_stage_encoding SAMPLES the posterior
+    # (DiagonalGaussianDistribution.sample, ddpm.py) — one independent
+    # draw per output sample, not the posterior mean
+    mean, logvar = vae.apply(vparams, x, method=vae.encode)
+    enc_rng, rng = jax.random.split(rng)
+    eps = jax.random.normal(enc_rng, (n,) + mean.shape[1:], mean.dtype)
+    z0 = (mean + jnp.exp(0.5 * logvar) * eps) * SD_SCALE_FACTOR
 
-    prompts = [args.prompt] * n
-    ctx = clip.apply(cparams, jnp.asarray(tok(prompts)))
-    uc = clip.apply(cparams, jnp.asarray(tok([""] * n)))
+    ctx = clip.apply(cparams, jnp.asarray(tok([args.prompt] * n)))
+    uc = clip.apply(cparams, jnp.asarray(tok([""])))[0]
 
     steps = (ast.literal_eval(args.timesteps) if args.timesteps
              else make_ddim_timesteps("uniform", args.steps, 1000))
@@ -529,15 +569,10 @@ def cmd_img2img(args) -> int:
     t_enc = max(1, int(args.strength * tables.num_steps))
     sub = jax.tree_util.tree_map(lambda a: a[..., :t_enc], tables)
 
-    def guided(x_, t, i):
-        x2 = jnp.concatenate([x_, x_])
-        t2 = jnp.concatenate([t, t])
-        c2 = jnp.concatenate([uc, ctx])
-        out = unet.apply(uparams, x2, t2, c2)
-        e_u, e_c = out[:n], out[n:]
-        return e_u + args.scale * (e_c - e_u)
+    from ..samplers import cfg_eps_fn
+    guided = cfg_eps_fn(lambda x2, t2, c2: unet.apply(uparams, x2, t2, c2),
+                        ctx, uc, args.scale)
 
-    rng = jax.random.key(args.seed)
     noise_rng, rng = jax.random.split(rng)
     # reference stochastic_encode gathers the ddim alpha at index t_enc —
     # one respaced level DEEPER than the last decoded step (ddim.py:220-233,
@@ -964,7 +999,11 @@ def cmd_evaluate(args) -> int:
         load_fid_inception_params(args.inception_path))
     with np.load(args.sample_batch) as z:
         arr = z[z.files[0]]
-    if args.ref_stats.endswith(".npz") and "mu" in np.load(args.ref_stats):
+    has_mu = False
+    if args.ref_stats.endswith(".npz"):
+        with np.load(args.ref_stats) as z:
+            has_mu = "mu" in z.files
+    if has_mu:
         ref = FIDStats.load(args.ref_stats)
     else:
         with np.load(args.ref_stats) as z:
@@ -1080,7 +1119,7 @@ def main(argv=None) -> int:
         model_path="", base_samples="", large_size=256, small_size=64,
         num_channels=192, num_res_blocks=2, channel_mult="", learn_sigma=True,
         noise_schedule="linear", class_cond=True, use_ddim=True,
-        num_samples=16, seed=0, out="", use_bf16=True))
+        num_samples=16, batch_size=16, seed=0, out="", use_bf16=True))
     p.set_defaults(fn=cmd_sr_sample)
 
     p = sub.add_parser("search-sd", help="Stable Diffusion latent search")

@@ -601,3 +601,132 @@ class TestTxt2ImgCLI:
         # 3 prompts sampled in batches of 2 then 1; the tiny VAE is f=2
         # (latent 16//8=2 -> decode 4x4), vs SD v1's f=8
         assert arr.shape == (3, 4, 4, 3) and arr.dtype == np.uint8
+
+
+class TestCLIReviewRegressions:
+    """Round-3 review findings in the CLI layer (fail-loud validation,
+    learn_sigma variance mapping, img2img posterior sampling)."""
+
+    def _clip_stack(self, tiny_sd):
+        from autodiffusion_tpu.models import CLIPTextConfig, CLIPTextEncoder
+        unet, uparams, vae, vparams = tiny_sd
+        cfg = CLIPTextConfig(vocab_size=50, width=16, layers=1, heads=2,
+                             max_length=5)
+        clip = CLIPTextEncoder(cfg)
+        cparams = clip.init(jax.random.key(3), jnp.zeros((1, 5), jnp.int32))
+
+        def tok(texts):
+            return np.zeros((len(texts), 5), np.int32)
+
+        return unet, uparams, vae, vparams, clip, cparams, tok
+
+    def test_txt2img_without_prompts_errors(self):
+        """Forgotten --prompt/--from_file must exit 1 before loading any
+        checkpoint, not write a 0-sample npz with rc 0."""
+        from autodiffusion_tpu.cli.main import main
+        rc = main(["txt2img", "--ckpt", "does_not_matter"])
+        assert rc == 1
+
+    def test_img2img_samples_posterior_and_shares_cfg(self, tiny_sd,
+                                                      monkeypatch, tmp_path):
+        """img2img end to end on the tiny stack: the init latent is a
+        posterior SAMPLE per output (reference get_first_stage_encoding),
+        so different seeds give different latents; CFG goes through the
+        shared cfg_eps_fn."""
+        from PIL import Image
+
+        import autodiffusion_tpu.cli.main as m
+
+        monkeypatch.setattr(
+            m, "_sd_stack", lambda args: self._clip_stack(tiny_sd))
+        init = tmp_path / "init.png"
+        rng = np.random.RandomState(0)
+        Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)).save(init)
+        outs = []
+        for seed in (0, 1):
+            out = str(tmp_path / f"i2i_{seed}.npz")
+            rc = m.main(["img2img", "--ckpt", "x", "--init_img", str(init),
+                         "--prompt", "p", "--n_samples", "2", "--H", "16",
+                         "--W", "16", "--steps", "4", "--strength", "0.5",
+                         "--use_bf16", "False", "--seed", str(seed),
+                         "--out", out])
+            assert rc == 0
+            with np.load(out) as z:
+                outs.append(z["arr_0"].copy())
+        # the tiny VAE is f=2 (one downsample), so 16px stays 16px
+        assert outs[0].shape == (2, 16, 16, 3)
+        # posterior sampling + noise: seeds must differ
+        assert not np.array_equal(outs[0], outs[1])
+
+    def test_sample_validates_skip_layers_length(self, tmp_path):
+        """A skip_layers list shorter than the schedule must fail loud —
+        under traced indexing keep[i] would silently clamp."""
+        import pytest
+
+        from autodiffusion_tpu.cli.main import main
+        from autodiffusion_tpu.models import ModelConfig, create_model
+        from autodiffusion_tpu.utils.checkpoint import save_tree
+
+        cfg = ModelConfig(image_size=16, num_channels=32, num_res_blocks=1,
+                          num_head_channels=32, attention_resolutions="8",
+                          channel_mult="1,2", class_cond=False,
+                          learn_sigma=True, noise_schedule="cosine",
+                          use_scale_shift_norm=True, resblock_updown=True,
+                          use_new_attention_order=True, use_bf16=False)
+        model = create_model(cfg)
+        p = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                       jnp.zeros((1,)))
+        ck = str(tmp_path / "m.msgpack")
+        save_tree(ck, p)
+        args = ["sample", "--model_path", ck, "--image_size", "16",
+                "--num_channels", "32", "--num_res_blocks", "1",
+                "--num_head_channels", "32", "--attention_resolutions", "8",
+                "--channel_mult", "1,2", "--class_cond", "False",
+                "--use_bf16", "False",
+                "--use_timestep", "[94, 354, 574, 834]",
+                "--skip_layers", "[[0], [1]]",     # 2 entries, 4 steps
+                "--num_samples", "4", "--batch_size", "4"]
+        with pytest.raises(ValueError, match="skip_layers"):
+            main(args)
+
+    def test_sample_classifier_needs_class_cond(self, tmp_path):
+        import pytest
+
+        from autodiffusion_tpu.cli.main import main
+        # must fire BEFORE any checkpoint is touched
+        with pytest.raises(ValueError, match="class_cond"):
+            main(["sample", "--model_path", "does_not_exist.msgpack",
+                  "--classifier_path", "also_absent.msgpack",
+                  "--class_cond", "False"])
+
+    def test_sample_learn_sigma_false_uses_fixed_large(self, tmp_path):
+        """A 3-channel (learn_sigma False) model must sample with
+        FIXED_LARGE variance instead of asserting in _split_model_output
+        (reference create_gaussian_diffusion fallback)."""
+        from autodiffusion_tpu.cli.main import main
+        from autodiffusion_tpu.models import ModelConfig, create_model
+        from autodiffusion_tpu.utils.checkpoint import save_tree
+
+        cfg = ModelConfig(image_size=16, num_channels=32, num_res_blocks=1,
+                          num_head_channels=32, attention_resolutions="8",
+                          channel_mult="1,2", class_cond=False,
+                          learn_sigma=False, noise_schedule="cosine",
+                          use_scale_shift_norm=True, resblock_updown=True,
+                          use_new_attention_order=True, use_bf16=False)
+        model = create_model(cfg)
+        p = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                       jnp.zeros((1,)))
+        ck = str(tmp_path / "m3.msgpack")
+        save_tree(ck, p)
+        out = str(tmp_path / "s.npz")
+        rc = main(["sample", "--model_path", ck, "--image_size", "16",
+                   "--num_channels", "32", "--num_res_blocks", "1",
+                   "--num_head_channels", "32",
+                   "--attention_resolutions", "8", "--channel_mult", "1,2",
+                   "--class_cond", "False", "--learn_sigma", "False",
+                   "--use_bf16", "False",
+                   "--use_timestep", "[94, 354, 574, 834]",
+                   "--num_samples", "8", "--batch_size", "8", "--out", out])
+        assert rc == 0
+        with np.load(out) as z:
+            assert z["arr_0"].shape == (8, 16, 16, 3)
