@@ -156,7 +156,20 @@ def run_selftest(inception_path: str, *, ref_batch: Optional[str] = None,
                          "other)")
     if ref_batch and ref_stats:
         with np.load(ref_batch) as z:
-            arr = z[z.files[0]]
+            # OpenAI reference batches (VIRTUAL_imagenet64_labeled.npz)
+            # hold images under arr_0 PLUS a label array — mirror the
+            # reference evaluator's obj['arr_0'] selection and fall back
+            # to the first image-shaped entry, never blindly files[0]
+            if "arr_0" in z.files:
+                arr = z["arr_0"]
+            else:
+                img_keys = [k for k in z.files
+                            if z[k].ndim == 4 and z[k].shape[-1] == 3]
+                if not img_keys:
+                    raise ValueError(
+                        f"{ref_batch} has no [N,H,W,3] image array "
+                        f"(keys: {z.files})")
+                arr = z[img_keys[0]]
         ref = FIDStats.load(ref_stats)
         ev = FIDEvaluator(feature_fn, ref, batch_size=batch_size)
         fid = float(ev.cal_metrics(arr)["fid"])

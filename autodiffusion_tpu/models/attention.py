@@ -100,7 +100,10 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
-        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
+        # torch nn.LayerNorm default eps is 1e-5 (flax defaults to 1e-6) —
+        # the reference blocks use the torch default (attention.py:196-217)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                       name=name)
         x = x + CrossAttention(self.heads, self.dim_head, dtype=self.dtype,
                                name="attn1")(ln("norm1")(x).astype(x.dtype))
         x = x + CrossAttention(self.heads, self.dim_head, dtype=self.dtype,
@@ -124,7 +127,9 @@ class SpatialTransformer(nn.Module):
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
-        x = GroupNorm32(name="norm")(x)
+        # CompVis Normalize() is GroupNorm(32, eps=1e-6) — not the 1e-5
+        # default (ldm/modules/attention.py:26-27)
+        x = GroupNorm32(epsilon=1e-6, name="norm")(x)
         x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, inner)
         for d in range(self.depth):

@@ -81,18 +81,13 @@ def _attnblock(sd, p):
     }
 
 
-def convert_unet(sd: Mapping[str, np.ndarray], model: UNetModel) -> dict:
-    """Map a guided-diffusion UNetModel/Dynamic_UNetModel state dict onto the
-    flax param tree of models.unet.UNetModel (unet.py:396-665 walk order)."""
+def _encoder_walk(sd, model, params: dict) -> tuple:
+    """Shared input_blocks/middle_block walk: the reference UNetModel and
+    EncoderUNetModel build their encoders with identical module layouts
+    (unet.py input/middle sections), so one walk serves both converters —
+    a fix to the skip/downsample mapping must not have to be applied
+    twice. Returns (ch, ds) where the walk left off for the decoder."""
     mc = model.model_channels
-    params: dict = {
-        "time_embed_0": _dense(sd, "time_embed.0"),
-        "time_embed_2": _dense(sd, "time_embed.2"),
-        "in_conv": _conv(sd, "input_blocks.0.0"),
-    }
-    if model.num_classes is not None:
-        params["label_emb"] = {"embedding": _np(sd, "label_emb.weight")}
-
     ch = int(model.channel_mult[0] * mc)
     idx = 1
     ds = 1
@@ -117,6 +112,22 @@ def convert_unet(sd: Mapping[str, np.ndarray], model: UNetModel) -> dict:
     params["mid_res0"] = _resblock(sd, "middle_block.0", has_skip=False)
     params["mid_attn"] = _attnblock(sd, "middle_block.1")
     params["mid_res1"] = _resblock(sd, "middle_block.2", has_skip=False)
+    return ch, ds
+
+
+def convert_unet(sd: Mapping[str, np.ndarray], model: UNetModel) -> dict:
+    """Map a guided-diffusion UNetModel/Dynamic_UNetModel state dict onto the
+    flax param tree of models.unet.UNetModel (unet.py:396-665 walk order)."""
+    mc = model.model_channels
+    params: dict = {
+        "time_embed_0": _dense(sd, "time_embed.0"),
+        "time_embed_2": _dense(sd, "time_embed.2"),
+        "in_conv": _conv(sd, "input_blocks.0.0"),
+    }
+    if model.num_classes is not None:
+        params["label_emb"] = {"embedding": _np(sd, "label_emb.weight")}
+
+    ch, ds = _encoder_walk(sd, model, params)
 
     # mirror the encoder's per-block channel bookkeeping for skip concat widths
     input_chans = [int(model.channel_mult[0] * mc)]
@@ -157,36 +168,12 @@ def convert_unet(sd: Mapping[str, np.ndarray], model: UNetModel) -> dict:
 
 def convert_classifier(sd: Mapping[str, np.ndarray], model: EncoderUNetModel) -> dict:
     """Map an EncoderUNetModel (classifier) state dict (unet.py:685-896)."""
-    mc = model.model_channels
     params: dict = {
         "time_embed_0": _dense(sd, "time_embed.0"),
         "time_embed_2": _dense(sd, "time_embed.2"),
         "in_conv": _conv(sd, "input_blocks.0.0"),
     }
-    ch = int(model.channel_mult[0] * mc)
-    idx = 1
-    ds = 1
-    for level, mult in enumerate(model.channel_mult):
-        for i in range(model.num_res_blocks):
-            c_out = int(mult * mc)
-            params[f"down_{level}_{i}_res"] = _resblock(
-                sd, f"input_blocks.{idx}.0", has_skip=(c_out != ch))
-            ch = c_out
-            if ds in model.attention_ds:
-                params[f"down_{level}_{i}_attn"] = _attnblock(sd, f"input_blocks.{idx}.1")
-            idx += 1
-        if level != len(model.channel_mult) - 1:
-            if model.resblock_updown:
-                params[f"down_{level}_ds"] = _resblock(
-                    sd, f"input_blocks.{idx}.0", has_skip=False)
-            else:
-                params[f"down_{level}_ds"] = {"op": _conv(sd, f"input_blocks.{idx}.0.op")}
-            idx += 1
-            ds *= 2
-
-    params["mid_res0"] = _resblock(sd, "middle_block.0", has_skip=False)
-    params["mid_attn"] = _attnblock(sd, "middle_block.1")
-    params["mid_res1"] = _resblock(sd, "middle_block.2", has_skip=False)
+    _encoder_walk(sd, model, params)
 
     if model.pool == "attention":
         params["out_norm"] = _gn(sd, "out.0")

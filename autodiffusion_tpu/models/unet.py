@@ -337,7 +337,16 @@ class UNetModel(nn.Module):
             def _call(block, hh, ee, kk):
                 return block(hh, ee, keep=kk, deterministic=deterministic)
 
-            call_res = nn.remat(_call)
+            _rematted = nn.remat(_call)
+
+            def call_res(block, hh, ee, kk):
+                if kk is STRUCTURAL_SKIP:
+                    # the sentinel is a plain object, not a JAX type —
+                    # remat would reject it as a traced argument; the
+                    # skipped block is only the resample/projection path,
+                    # so there is nothing worth rematerializing anyway
+                    return _call(block, hh, ee, kk)
+                return _rematted(block, hh, ee, kk)
         else:
             def call_res(block, hh, ee, kk):
                 return block(hh, ee, keep=kk, deterministic=deterministic)

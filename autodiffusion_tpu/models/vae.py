@@ -81,7 +81,11 @@ class VAEAttnBlock(nn.Module):
             h = flash_attention(q[:, None], k[:, None], v[:, None]
                                 )[:, 0].reshape(b, hh, ww, c)
         else:
-            w = jnp.einsum("btc,bsc->bts", q, k).astype(jnp.float32) * (c ** -0.5)
+            # f32 ACCUMULATION of the logits (not a post-hoc cast of bf16
+            # sums) — keeps the einsum path numerically aligned with the
+            # flash kernel's f32 logits across the auto switch point
+            w = jnp.einsum("btc,bsc->bts", q, k,
+                           preferred_element_type=jnp.float32) * (c ** -0.5)
             w = jax.nn.softmax(w, axis=-1).astype(v.dtype)
             h = jnp.einsum("bts,bsc->btc", w, v).reshape(b, hh, ww, c)
         h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)

@@ -86,6 +86,18 @@ class TestMasking:
         np.testing.assert_allclose(np.asarray(masked), np.asarray(structural),
                                    atol=1e-5)
 
+    def test_structural_skip_under_remat(self):
+        """use_remat routes blocks through nn.remat; the STRUCTURAL_SKIP
+        sentinel is a plain object and must bypass the remat boundary
+        instead of crashing as a non-JAX traced argument."""
+        m, params, x, t = self._setup()
+        mr = tiny_model(use_remat=True)
+        skip = frozenset({0, 2})
+        structural = mr.apply(params, x, t, structural_skip=skip)
+        plain = m.apply(params, x, t, structural_skip=skip)
+        np.testing.assert_allclose(np.asarray(structural), np.asarray(plain),
+                                   atol=1e-6)
+
     def test_skipping_changes_output(self):
         m, params, x, t = self._setup()
         base = m.apply(params, x, t)
