@@ -964,22 +964,26 @@ def cmd_train(args) -> int:
     # (script_util.py:415-453 create_gaussian_diffusion)
     var_type = (ModelVarType.LEARNED_RANGE if cfg.learn_sigma
                 else ModelVarType.FIXED_LARGE)
-    step = jax.jit(make_train_step(model.apply, class_cond=cfg.class_cond,
-                                   var_type=var_type,
-                                   microbatches=max(1, args.batch_size //
-                                                    (args.microbatch or args.batch_size)),
-                                   data_sharder=data_sharder(mesh)))
+    step_raw = make_train_step(model.apply, class_cond=cfg.class_cond,
+                               var_type=var_type,
+                               microbatches=max(1, args.batch_size //
+                                                (args.microbatch or args.batch_size)),
+                               data_sharder=data_sharder(mesh))
+    step = jax.jit(step_raw)
+    grad_fn = None
     tables_fn = None
     if args.ofa_mode == "random_section":
         tables_fn = ofa_tables_fn(cfg.noise_schedule, cfg.diffusion_steps)
     elif args.ofa_mode == "random_select":
         tables_fn = ofa_random_select_tables_fn(cfg.noise_schedule,
                                                 cfg.diffusion_steps)
+        # the sandwich accumulates grads over four schedules per update
+        grad_fn = jax.jit(step_raw.grads_and_metrics)
     data = map(lambda b: shard_batch(mesh, b),
                load_data(data_dir=args.data_dir, batch_size=args.batch_size,
                          image_size=cfg.image_size, class_cond=cfg.class_cond))
     loop = TrainLoop(
-        state=state, step_fn=step, data=data,
+        state=state, step_fn=step, grad_fn=grad_fn, data=data,
         schedule_sampler=create_named_schedule_sampler(
             args.schedule_sampler, cfg.diffusion_steps),
         tables=create_tables(cfg), tables_fn=tables_fn,

@@ -74,13 +74,25 @@ class ImageDataset:
             img = Image.open(f)
             img.load()
         img = img.convert("RGB")
-        # progressive downsize then resize so min side == resolution
-        while min(*img.size) >= 2 * self.resolution:
+        rng = self._rng
+        # random_crop adds the reference's SCALE JITTER: the short side is
+        # resized to a random size in [ceil(res/max_frac), ceil(res/min_frac)]
+        # = [res, ceil(res/0.8)] before cropping (random_crop_arr,
+        # image_datasets.py:276-296). Without it a square source resizes to
+        # exactly res x res and the "random" crop degenerates to a
+        # deterministic (0, 0) crop with zero augmentation.
+        if self.random_crop:
+            import math
+            target = rng.randrange(self.resolution,
+                                   math.ceil(self.resolution / 0.8) + 1)
+        else:
+            target = self.resolution
+        # progressive downsize then resize so min side == target
+        while min(*img.size) >= 2 * target:
             img = img.resize(tuple(x // 2 for x in img.size), Image.BOX)
-        scale = self.resolution / min(*img.size)
+        scale = target / min(*img.size)
         img = img.resize(tuple(round(x * scale) for x in img.size), Image.BICUBIC)
         arr = np.array(img)
-        rng = self._rng
         if self.random_crop:
             arr = _random_crop(arr, self.resolution, rng)
         else:

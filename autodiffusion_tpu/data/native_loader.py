@@ -103,6 +103,17 @@ class NativeNpyLoader:
                 if not self._lbl:
                     self._lbl = None
                     raise FileNotFoundError(f"cannot mmap npy: {labels_npy}")
+                # the C fill_batch indexes labels->data + idx*itemsize for
+                # idx in [0, N): a short labels array would be read past
+                # its mmap (garbage labels or SIGSEGV in a worker thread)
+                lnd = lib.adt_npy_ndim(self._lbl)
+                ldims = (ctypes.c_int64 * lnd)()
+                lib.adt_npy_shape(self._lbl, ldims)
+                lshape = tuple(ldims[i] for i in range(lnd))
+                if lnd != 1 or lshape[0] != self.shape[0]:
+                    raise ValueError(
+                        f"labels npy must be 1-D with one entry per image: "
+                        f"images {self.shape[0]}, labels shape {lshape}")
             self.batch_size = batch_size
             self.out_hw = (crop or self.shape[1], crop or self.shape[2])
             self._loader = lib.adt_loader_create(

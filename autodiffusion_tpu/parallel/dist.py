@@ -25,6 +25,15 @@ def setup_dist(coordinator_address: Optional[str] = None,
     default, search_imagenet64_classifier_guidance.py:624-627) is a no-op."""
     global _INITIALIZED
     if _INITIALIZED:
+        if coordinator_address is not None:
+            # the earlier call was the single-process no-op (or a different
+            # cluster): silently ignoring real coordinator args here would
+            # leave every host training on duplicated data with
+            # process_count() == 1 and no error
+            raise RuntimeError(
+                "setup_dist called with coordinator args after an earlier "
+                "setup_dist already ran; jax.distributed.initialize can "
+                "only run once and must come first")
         return
     # NB: do NOT touch jax.process_count() (or any other jax API) before
     # initialize — it initializes the XLA backend, after which
@@ -34,7 +43,7 @@ def setup_dist(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    _INITIALIZED = True
+        _INITIALIZED = True
 
 
 def rank() -> int:

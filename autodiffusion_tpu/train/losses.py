@@ -15,8 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from ..samplers.diffusion import (ModelMeanType, ModelVarType, _at,
-                                  p_mean_variance, q_posterior_mean_variance,
-                                  q_sample)
+                                  _predict_eps_from_xstart, p_mean_variance,
+                                  q_posterior_mean_variance, q_sample)
 from ..schedules import ScheduleTables
 
 __all__ = ["normal_kl", "discretized_gaussian_log_likelihood", "vb_terms_bpd",
@@ -157,7 +157,7 @@ def calc_bpd_loop(tables: ScheduleTables, model_fn, x_start, rng, *,
         vb, pred_x0 = vb_terms_bpd(tables, model_out, x_start, x_t, t,
                                    mean_type=mean_type, var_type=var_type,
                                    clip_denoised=clip_denoised)
-        eps = _predict_eps(tables, x_t, t, pred_x0)
+        eps = _predict_eps_from_xstart(tables, x_t, t, pred_x0)
         return carry, (vb, mean_flat((pred_x0 - x_start) ** 2),
                        mean_flat((eps - noise) ** 2))
 
@@ -172,7 +172,3 @@ def calc_bpd_loop(tables: ScheduleTables, model_fn, x_start, rng, *,
         "mse": mse,
     }
 
-
-def _predict_eps(tables, x_t, t, pred_x0):
-    from ..samplers.diffusion import _predict_eps_from_xstart
-    return _predict_eps_from_xstart(tables, x_t, t, pred_x0)

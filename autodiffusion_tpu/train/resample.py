@@ -34,19 +34,11 @@ class UniformSampler:
         pass
 
     def update_with_local_losses(self, ts: np.ndarray, losses: np.ndarray) -> None:
-        """Gather per-timestep losses from every data-parallel process before
-        updating the history (reference resample.py:71-104: dist.all_gather
-        of batch sizes + losses). With a single process this is the identity;
-        multi-host, every rank sees the same gathered stream so the sampling
-        distribution stays identical across ranks. jax data shards are
-        equal-sized by construction, so the reference's ragged-batch-size
-        gather is unnecessary."""
-        from ..parallel.dist import all_gather_host
-
-        gathered_ts = np.asarray(all_gather_host(np.asarray(ts))).reshape(-1)
-        gathered_losses = np.asarray(
-            all_gather_host(np.asarray(losses))).reshape(-1)
-        self.update_with_losses(gathered_ts, gathered_losses)
+        """No history to update — and therefore NO collectives. The
+        reference guards the gather with isinstance(LossAwareSampler)
+        (train_util.py:519-522); running two process_allgathers per train
+        step just to discard the result would cost two synchronous host
+        round-trips on every multi-process step."""
 
 
 class LossSecondMomentResampler(UniformSampler):
@@ -60,6 +52,21 @@ class LossSecondMomentResampler(UniformSampler):
         self.uniform_prob = uniform_prob
         self._loss_history = np.zeros((num_steps, history_per_term), np.float64)
         self._loss_counts = np.zeros(num_steps, np.int64)
+
+    def update_with_local_losses(self, ts: np.ndarray, losses: np.ndarray) -> None:
+        """Gather per-timestep losses from every data-parallel process before
+        updating the history (reference resample.py:71-104: dist.all_gather
+        of batch sizes + losses). With a single process this is the identity;
+        multi-host, every rank sees the same gathered stream so the sampling
+        distribution stays identical across ranks. jax data shards are
+        equal-sized by construction, so the reference's ragged-batch-size
+        gather is unnecessary."""
+        from ..parallel.dist import all_gather_host
+
+        gathered_ts = np.asarray(all_gather_host(np.asarray(ts))).reshape(-1)
+        gathered_losses = np.asarray(
+            all_gather_host(np.asarray(losses))).reshape(-1)
+        self.update_with_losses(gathered_ts, gathered_losses)
 
     def _warmed_up(self) -> bool:
         return bool((self._loss_counts == self.history_per_term).all())

@@ -98,13 +98,19 @@ def make_train_step(model_apply: Callable, *,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def step(state: TrainState, tables: ScheduleTables, batch: Dict,
-             t: jnp.ndarray, loss_weights: jnp.ndarray, rng) -> Tuple[TrainState, Dict]:
+    def grads_and_metrics(params, tables: ScheduleTables, batch: Dict,
+                          t: jnp.ndarray, loss_weights: jnp.ndarray, rng):
         x = batch["x"]
         y = batch.get("y")
         if data_sharder is not None:
             x = data_sharder(x)
         b = x.shape[0]
+        if b % microbatches:
+            raise ValueError(
+                f"batch size {b} does not divide into {microbatches} "
+                f"microbatches; pick --microbatch so it divides the batch "
+                "(the jitted scan needs equal slices — the reference's "
+                "ragged tail microbatch is not representable)")
         micro = b // microbatches
 
         def resh(a):
@@ -115,13 +121,13 @@ def make_train_step(model_apply: Callable, *,
 
         def micro_step(carry, inp):
             xi, yi, ti, wi, ri = inp
-            (loss, terms), grads = grad_fn(state.params, tables, xi, yi, ti, wi, ri)
+            (loss, terms), grads = grad_fn(params, tables, xi, yi, ti, wi, ri)
             acc = jax.tree_util.tree_map(jnp.add, carry, grads)
             return acc, (loss, terms)
 
-        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zero = jax.tree_util.tree_map(jnp.zeros_like, params)
         if microbatches == 1:
-            (loss, terms), grads = grad_fn(state.params, tables, x, y, t,
+            (loss, terms), grads = grad_fn(params, tables, x, y, t,
                                            loss_weights, rng)
             losses, all_terms = loss[None], jax.tree_util.tree_map(
                 lambda a: a[None], terms)
@@ -129,16 +135,26 @@ def make_train_step(model_apply: Callable, *,
             grads, (losses, all_terms) = jax.lax.scan(micro_step, zero, xs)
             grads = jax.tree_util.tree_map(lambda g: g / microbatches, grads)
 
-        new_state = state.apply_gradients(grads)
-        grad_norm = optax.global_norm(grads)
         metrics = {
             "loss": losses.mean(),
-            "grad_norm": grad_norm,
+            "grad_norm": optax.global_norm(grads),
             "per_example_loss": all_terms["loss"].reshape(-1),
         }
         for k in ("mse", "vb"):
             if k in all_terms:
                 metrics[k] = all_terms[k].mean()
-        return new_state, metrics
+        return grads, metrics
 
+    def step(state: TrainState, tables: ScheduleTables, batch: Dict,
+             t: jnp.ndarray, loss_weights: jnp.ndarray, rng) -> Tuple[TrainState, Dict]:
+        grads, metrics = grads_and_metrics(state.params, tables, batch, t,
+                                           loss_weights, rng)
+        return state.apply_gradients(grads), metrics
+
+    # expose the grads-only form for the OFA random-select sandwich: four
+    # different-K schedules accumulate into ONE optimizer update
+    # (OFA_TrainLoop_random_select.forward_backward, train_util.py:639-712);
+    # different K means different compiled programs, so accumulation
+    # happens across jit calls, not inside one
+    step.grads_and_metrics = grads_and_metrics
     return step

@@ -47,3 +47,21 @@ class TestAugmentationFreshness:
                           random_flip=False)
         a, b = ds[2][0], ds[2][0]
         np.testing.assert_array_equal(a, b)
+
+
+def test_random_crop_scale_jitter_on_square_images(tmp_path):
+    """Reference random_crop_arr resizes the short side to a RANDOM size in
+    [res, ceil(res/0.8)] before cropping; without the jitter a square
+    source degenerates to a deterministic (0,0) crop with zero
+    augmentation (image_datasets.py:276-296)."""
+    from PIL import Image
+
+    from autodiffusion_tpu.data.images import ImageDataset
+
+    rng = np.random.RandomState(0)
+    p = tmp_path / "img_0.png"
+    Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(p)
+    ds = ImageDataset(resolution=32, paths=[str(p)], random_crop=True,
+                      random_flip=False)
+    crops = {ds[0][0].tobytes() for _ in range(12)}
+    assert len(crops) > 1, "random_crop produced identical crops on a square image"

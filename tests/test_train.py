@@ -270,3 +270,93 @@ class TestCrossProcessLossAwareSampler:
         s = LossSecondMomentResampler(10, history_per_term=1)
         s.update_with_local_losses(np.array([3]), np.array([2.0]))
         assert s._loss_counts[3] == 1 and s._loss_history[3, 0] == 2.0
+
+
+class TestOFAReviewRegressions:
+    """Round-3 review findings: section-count coupling, the random-select
+    sandwich, microbatch validation."""
+
+    def test_section_counts_coupled(self):
+        import random as pyrandom
+
+        from autodiffusion_tpu.train.loop import _ofa_section_counts
+        rng = pyrandom.Random(0)
+        for _ in range(200):
+            c = _ofa_section_counts(rng, (2, 4, 6, 8), 4)
+            assert c[1] >= c[0] and c[2] >= c[3], c
+
+    def test_random_select_returns_reference_sandwich(self):
+        import random as pyrandom
+
+        from autodiffusion_tpu.train import ofa_random_select_tables_fn
+        fn = ofa_random_select_tables_fn("cosine", 1000, k_menu=(25, 50))
+        rng = pyrandom.Random(0)
+        for step in range(5):
+            tlist = fn(step, rng)
+            assert len(tlist) == 4
+            assert tlist[0].num_steps == 1000            # largest
+            assert tlist[1].num_steps in (25, 50)        # random (bucketed)
+            assert tlist[2].num_steps in (25, 50)
+            assert tlist[3].num_steps == 4               # smallest
+            # the max-noise base step is always trained (reference set
+            # includes original_num_steps - 1)
+            assert int(tlist[3].timestep_map[-1]) == 999
+
+    def test_sandwich_step_one_update_from_four_schedules(self):
+        import random as pyrandom
+
+        from autodiffusion_tpu.train import (TrainLoop, create_train_state,
+                                             make_train_step,
+                                             ofa_random_select_tables_fn)
+
+        m, params = _tiny_setup()
+        state = create_train_state(params, lr=1e-4)
+        raw = make_train_step(m.apply)
+        rng = np.random.RandomState(0)
+        batch = {"x": rng.randn(4, 8, 8, 3).astype(np.float32) * 0.1}
+        data = iter(lambda: batch, None)
+        loop = TrainLoop(
+            state=state, step_fn=jax.jit(raw),
+            grad_fn=jax.jit(raw.grads_and_metrics), data=data,
+            tables_fn=ofa_random_select_tables_fn("cosine", 1000,
+                                                  k_menu=(4, 6)),
+            batch_size=4, log_interval=0, save_interval=0)
+        loop.run_loop(max_steps=2)
+        # four schedules per step, ONE optimizer update per step
+        assert int(loop.state.step) == 2
+        # params actually moved (some leaves are zero-init; check globally)
+        diff = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                   for a, b in zip(jax.tree_util.tree_leaves(params),
+                                   jax.tree_util.tree_leaves(loop.state.params)))
+        assert diff > 0.0
+
+    def test_sandwich_without_grad_fn_fails_loud(self):
+        import pytest
+
+        from autodiffusion_tpu.train import (TrainLoop, create_train_state,
+                                             make_train_step)
+        from autodiffusion_tpu.schedules import build_base_tables
+
+        m, params = _tiny_setup()
+        state = create_train_state(params, lr=1e-4)
+        batch = {"x": np.zeros((4, 8, 8, 3), np.float32)}
+        loop = TrainLoop(
+            state=state, step_fn=jax.jit(make_train_step(m.apply)),
+            data=iter(lambda: batch, None),
+            tables_fn=lambda s, r: [build_base_tables("cosine", 1000)],
+            batch_size=4, log_interval=0, save_interval=0)
+        with pytest.raises(ValueError, match="grad_fn"):
+            loop.run_loop(max_steps=1)
+
+    def test_microbatch_must_divide_batch(self):
+        import pytest
+
+        m, params = _tiny_setup()
+        tables = build_base_tables("cosine", 1000)
+        state = create_train_state(params, lr=1e-4)
+        step = jax.jit(make_train_step(m.apply, microbatches=3))
+        x = jnp.zeros((16, 8, 8, 3))
+        t = jnp.zeros((16,), jnp.int32)
+        w = jnp.ones((16,))
+        with pytest.raises(ValueError, match="microbatch"):
+            step(state, tables, {"x": x}, t, w, jax.random.key(0))
