@@ -75,7 +75,7 @@ def _search_defaults():
         classifier_scale=1.0, use_ddim=True, time_step=4,
         num_samples=5000, batch_size=100, max_epochs=10, select_num=10,
         population_num=50, m_prob=0.25, crossover_num=15, mutation_num=25,
-        use_ddim_init_x=True, seed=0, candidate_chunk=4,
+        use_ddim_init_x=True, seed=0, candidate_chunk=4, resume=False,
         max_device_batch=-1,   # -1 = auto HBM cap (fitness.py), 0 = off
         use_dynamic_unet=False, index_step=0, max_prun=0.1, min_prun=0.0,
         init_timesteps="", inception_path="", class_cond=True,
@@ -85,6 +85,30 @@ def _search_defaults():
         resblock_updown=True, use_new_attention_order=True, use_bf16=True,
         dropout=0.0, channel_mult="",
     )
+
+
+def _maybe_resume_ea(searcher, args) -> None:
+    """Resume a crashed/interrupted EA from save_dir/ea_state.json.
+
+    Without --resume a re-run would construct a fresh searcher and the
+    first _save() would os.replace() the old checkpoint — destroying
+    every memoized FID the crashed run paid for. The checkpoint/resume
+    machinery (evolution.py load/_save) was otherwise unreachable from
+    the CLI."""
+    path = searcher.checkpoint_path
+    if not getattr(args, "resume", False):
+        if path and os.path.exists(path):
+            logger.log(f"note: {path} exists from a previous run; pass "
+                       "--resume True to continue it (starting fresh "
+                       "will overwrite it)")
+        return
+    if not path:
+        raise ValueError("--resume needs --save_dir (the EA checkpoint "
+                         "lives at save_dir/ea_state.json)")
+    if not os.path.exists(path):
+        logger.log(f"--resume: no checkpoint at {path}, starting fresh")
+        return
+    searcher.load(path)
 
 
 def cmd_search(args) -> int:
@@ -137,7 +161,7 @@ def cmd_search(args) -> int:
         classifier=classifier, classifier_params=cparams,
         classifier_scale=args.classifier_scale,
         num_classes=1000 if cfg.class_cond else None,
-        use_ddim=args.use_ddim, joint=joint,
+        use_ddim=args.use_ddim, learn_sigma=cfg.learn_sigma, joint=joint,
         candidate_chunk=args.candidate_chunk, seed=args.seed,
         max_device_batch=(None if args.max_device_batch < 0
                           else args.max_device_batch))
@@ -164,6 +188,7 @@ def cmd_search(args) -> int:
         checkpoint_path=(f"{args.save_dir}/ea_state.json"
                          if args.save_dir else None),
         on_epoch_start=hook)
+    _maybe_resume_ea(searcher, args)
     import time
     t0 = time.time()
     best, fid = searcher.search()
@@ -432,6 +457,7 @@ def cmd_search_sd(args) -> int:
         max_epochs=args.max_epochs, use_ddim_init_x=args.use_ddim_init_x,
         checkpoint_path=(f"{args.save_dir}/ea_state.json"
                          if args.save_dir else None))
+    _maybe_resume_ea(searcher, args)
     best, fid = searcher.search()
     print(json.dumps({"best": list(best), "fid": fid}))
     return 0
@@ -1133,7 +1159,7 @@ def main(argv=None) -> int:
         time_step=4, num_samples=1000, batch_size=6, num_prompts=2000,
         max_epochs=10, select_num=10, population_num=50, m_prob=0.25,
         crossover_num=15, mutation_num=25, use_ddim_init_x=True, seed=0,
-        candidate_chunk=2, use_bf16=True))
+        candidate_chunk=2, use_bf16=True, resume=False))
     p.set_defaults(fn=cmd_search_sd)
 
     p = sub.add_parser("txt2img", help="text-to-image sampling (SD)")

@@ -89,6 +89,19 @@ class BatchedFIDFitness:
             self.device_batch = -(-batch_size // splits)
         else:
             self.device_batch = batch_size
+        # every candidate is scored on n_batches * device_batch samples —
+        # the even-slice requirement can round num_samples UP by up to
+        # device_batch - 1. FID is sample-size dependent, so disclose the
+        # actual count instead of silently overshooting. (The reference
+        # instead TRUNCATES: range(num_samples // batch_size) serial
+        # batches, get_cand_fid.)
+        self.actual_samples = (-(-num_samples // self.device_batch)
+                               * self.device_batch)
+        if self.actual_samples != num_samples:
+            logger.log(f"fitness: {num_samples} samples/candidate rounds up "
+                       f"to {self.actual_samples} "
+                       f"(even device batches of {self.device_batch}); "
+                       "compare FIDs at equal actual counts")
         # place_fn makes every dispatch argument a GLOBAL array before it
         # enters jit — required on multi-process meshes, where each process
         # holds only its local devices and jit rejects process-local

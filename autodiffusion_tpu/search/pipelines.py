@@ -16,6 +16,7 @@ import numpy as np
 
 from ..fid.stats import FIDStats
 from ..samplers import classifier_cond_fn, ddim_sample_loop, p_sample_loop
+from ..samplers.diffusion import ModelVarType
 from ..schedules import build_tables
 from .fitness import BatchedFIDFitness, to_uint8
 
@@ -41,6 +42,7 @@ def make_adm_fitness(*, model, params, image_size: int,
                      num_classes: Optional[int] = 1000,
                      use_ddim: bool = True, eta: float = 0.0,
                      clip_denoised: bool = True,
+                     learn_sigma: bool = True,
                      joint: bool = False,
                      candidate_chunk: int = 8, seed: int = 0,
                      feature_dim: int = 2048,
@@ -101,6 +103,11 @@ def make_adm_fitness(*, model, params, image_size: int,
         shape = (n, image_size, image_size, 3)
         loop = ddim_sample_loop if use_ddim else p_sample_loop
         kw = {"eta": eta} if use_ddim else {}
+        # learn_sigma=False models emit 3 channels: FIXED_LARGE variance,
+        # the reference create_gaussian_diffusion fallback (script_util.py),
+        # like every sampling CLI path
+        kw["var_type"] = (ModelVarType.LEARNED_RANGE if learn_sigma
+                          else ModelVarType.FIXED_LARGE)
         noise = jax.random.normal(noise_rng, shape)
         if shard_fn is not None:
             noise = shard_fn(noise)

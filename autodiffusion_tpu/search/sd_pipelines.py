@@ -69,11 +69,18 @@ def make_sd_fitness(*, unet, unet_params, vae, vae_params,
                     dpm_order: int = 2,
                     candidate_chunk: int = 4, seed: int = 0,
                     feature_dim: int = 2048,
-                    max_device_batch: Optional[int] = None) -> BatchedFIDFitness:
+                    max_device_batch: Optional[int] = None,
+                    shard_fn: Optional[Callable] = None,
+                    place_fn: Optional[Callable] = None) -> BatchedFIDFitness:
     """context_bank: [N, 77, 768] precomputed CLIP embeddings of the eval
     prompts (COCO captions); uncond_context: [77, 768] empty-prompt
     embedding. Candidates: int tuples for ddim/plms, float tuples (K+1
-    ascending times) for dpm_solver."""
+    ascending times) for dpm_solver.
+
+    shard_fn/place_fn: same contract as make_adm_fitness — batch-axis
+    sharding constraints and multi-process globalization of dispatch
+    arguments (BatchedFIDFitness.place_fn); the SD path supports the
+    same mesh parallelism as the ADM path."""
     betas = make_beta_schedule("sqrt_linear", base_num_steps,
                                linear_start=linear_start, linear_end=linear_end)
     noise_sched = DiscreteNoiseSchedule.from_betas(betas)
@@ -95,6 +102,14 @@ def make_sd_fitness(*, unet, unet_params, vae, vae_params,
         idx = prompt_window(n, candidate_chunk, batch_idx, n_prompts)
         ctx = bank[idx]
         shape = (n, latent_hw, latent_hw, latent_ch)
+        rng, noise_rng = jax.random.split(rng)
+        noise = jax.random.normal(noise_rng, shape)
+        if shard_fn is not None:
+            # batch-axis constraints like the ADM path (pipelines.py):
+            # the initial latent and the per-sample context spread over
+            # the mesh's data axis and everything downstream follows
+            noise = shard_fn(noise)
+            ctx = shard_fn(ctx)
         guided_eps = cfg_eps_fn(
             lambda x2, t2, c2: unet.apply(uparams, x2, t2, c2),
             ctx, uncond, guidance_scale)
@@ -102,15 +117,17 @@ def make_sd_fitness(*, unet, unet_params, vae, vae_params,
         if sampler == "dpm_solver":
             z = dpm_solver_sample_loop(
                 guided_eps, shape, noise_sched, payload["times"], rng=rng,
-                order=dpm_order, lower_order_final=True, predict_x0=True)
+                order=dpm_order, lower_order_final=True, predict_x0=True,
+                noise=noise)
         elif sampler == "plms":
             z = plms_sample_loop(guided_eps, shape,
-                                 payload["tables"], rng=rng)
+                                 payload["tables"], rng=rng, noise=noise)
         elif sampler == "ddim":
             z = ddim_sample_loop(guided_eps, shape,
                                  payload["tables"], rng=rng,
                                  clip_denoised=False,
-                                 var_type=ModelVarType.FIXED_SMALL)
+                                 var_type=ModelVarType.FIXED_SMALL,
+                                 noise=noise)
         else:
             raise ValueError(sampler)
         return sd_decode_to_uint8(
@@ -122,4 +139,4 @@ def make_sd_fitness(*, unet, unet_params, vae, vae_params,
         static_payload=(unet_params, vae_params, context_bank, uncond_context),
         feature_params=feature_params,
         candidate_chunk=candidate_chunk, seed=seed, feature_dim=feature_dim,
-        max_device_batch=max_device_batch)
+        max_device_batch=max_device_batch, place_fn=place_fn)

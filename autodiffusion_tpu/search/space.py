@@ -171,11 +171,24 @@ class JointSpace:
         skips: List[Tuple[int, ...]] = []
         used = 0
         while True:
-            # rejection-sample a skip count that fits the remaining budget
-            while True:
-                skip = self._random_skip()
-                if used + self.layer_num - len(skip) <= self.max_index_number:
-                    break
+            if self.max_index_number - used == min_cost:
+                # only the maximal skip fits. _random_skip's int truncation
+                # keeps its draw STRICTLY below hi*layer_num (n <= ceil-1),
+                # so when hi*layer_num is an integer the rejection loop
+                # below could never emit cost == min_cost and would spin
+                # forever (reachable on the first iteration when the budget
+                # equals min_cost). Construct the maximal skip directly,
+                # exactly like the exact-fit branch at the bottom.
+                n = int(self.layer_num * hi)
+                layers = list(range(self.layer_num))
+                self.rng.shuffle(layers)
+                skip = tuple(sorted(layers[:n]))
+            else:
+                # rejection-sample a skip count that fits the remaining budget
+                while True:
+                    skip = self._random_skip()
+                    if used + self.layer_num - len(skip) <= self.max_index_number:
+                        break
             ts.append(pool[len(ts)])
             skips.append(skip)
             used += self.layer_num - len(skip)

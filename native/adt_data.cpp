@@ -95,6 +95,18 @@ NpyArray* npy_open(const char* path) {
   if (!parse_header(reinterpret_cast<const char*>(p + hdr_off), hdr_len, a)) {
     munmap(map, st.st_size); ::close(fd); delete a; return nullptr;
   }
+  // the header-declared payload must fit inside the mapped file: a
+  // truncated dump otherwise SIGBUSes inside a detached worker thread
+  // with no Python exception and no hint of which file was bad
+  size_t total = a->itemsize;
+  for (int i = 0; i < a->ndim; i++) total *= (size_t)a->dims[i];
+  if (hdr_off + hdr_len + total > (size_t)st.st_size) {
+    std::fprintf(stderr,
+                 "adt_data: %s is truncated (header declares %zu data "
+                 "bytes, file holds %zu)\n",
+                 path, total, (size_t)st.st_size - hdr_off - hdr_len);
+    munmap(map, st.st_size); ::close(fd); delete a; return nullptr;
+  }
   a->data = p + hdr_off + hdr_len;
   return a;
 }
@@ -126,11 +138,16 @@ struct Loader {
   size_t cursor = 0;
   int epoch = 0;
 
-  // prefetch ring
+  // prefetch ring. Batches are pushed in draw order (seq): without the
+  // sequencing, multi-worker delivery order would depend on thread
+  // scheduling and two same-seeded runs would see different batch
+  // sequences despite the fully seeded shuffle/augmentation design.
   std::queue<Batch> ready;
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
   size_t max_ready = 4;
+  uint64_t seq_draw = 0;   // next sequence number handed to a worker
+  uint64_t seq_push = 0;   // next sequence number allowed to push
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
   std::mutex sched_mu;                // serializes index-draw + epoch logic
@@ -169,8 +186,18 @@ void fill_batch(Loader* L, const std::vector<int64_t>& idx, uint64_t rng_seed,
     }
     if (L->labels) {
       const uint8_t* lp = L->labels->data + (size_t)idx[b] * L->labels->itemsize;
+      // widen with correct signedness (a raw memcpy into a zeroed int64
+      // would map an int32 -1 to 4294967295)
       int64_t v = 0;
-      memcpy(&v, lp, std::min(L->labels->itemsize, sizeof(v)));
+      bool sgn = L->labels->kind == 'i';
+      switch (L->labels->itemsize) {
+        case 1: v = sgn ? (int64_t)*(const int8_t*)lp : (int64_t)*lp; break;
+        case 2: v = sgn ? (int64_t)*(const int16_t*)lp
+                        : (int64_t)*(const uint16_t*)lp; break;
+        case 4: v = sgn ? (int64_t)*(const int32_t*)lp
+                        : (int64_t)*(const uint32_t*)lp; break;
+        default: memcpy(&v, lp, sizeof(v)); break;  // 8-byte
+      }
       out->y[b] = v;
     }
   }
@@ -179,7 +206,7 @@ void fill_batch(Loader* L, const std::vector<int64_t>& idx, uint64_t rng_seed,
 void worker_loop(Loader* L) {
   while (!L->stop.load()) {
     std::vector<int64_t> idx;
-    uint64_t rng_seed;
+    uint64_t rng_seed, my_seq;
     {
       std::lock_guard<std::mutex> lk(L->sched_mu);
       if (L->cursor + L->batch > L->order.size()) {
@@ -194,17 +221,22 @@ void worker_loop(Loader* L) {
                  L->order.begin() + L->cursor + L->batch);
       rng_seed = L->seed * 1000003u + L->epoch * 7919u + L->cursor;
       L->cursor += L->batch;
+      my_seq = L->seq_draw++;
     }
     Batch b;
     fill_batch(L, idx, rng_seed, &b);
     {
       std::unique_lock<std::mutex> lk(L->mu);
-      L->cv_space.wait(lk, [L] {
-        return L->ready.size() < L->max_ready || L->stop.load(); });
+      // publish strictly in draw order so delivery is reproducible
+      L->cv_space.wait(lk, [L, my_seq] {
+        return (L->seq_push == my_seq && L->ready.size() < L->max_ready)
+               || L->stop.load(); });
       if (L->stop.load()) return;
       L->ready.push(std::move(b));
+      L->seq_push++;
     }
     L->cv_ready.notify_one();
+    L->cv_space.notify_all();   // wake the worker holding the next seq
   }
 }
 
@@ -240,6 +272,16 @@ void* adt_loader_create(void* images, void* labels, int batch, int crop,
     delete L;
     return nullptr;
   }
+  // labels must be integer and of a width the fill loop widens correctly;
+  // a float32 labels file would otherwise be bit-reinterpreted into
+  // garbage classes with no error
+  if (L->labels != nullptr &&
+      ((L->labels->kind != 'i' && L->labels->kind != 'u') ||
+       (L->labels->itemsize != 1 && L->labels->itemsize != 2 &&
+        L->labels->itemsize != 4 && L->labels->itemsize != 8))) {
+    delete L;
+    return nullptr;
+  }
   L->batch = batch;
   L->crop = crop;
   L->random_flip = random_flip;
@@ -267,7 +309,9 @@ int adt_loader_next(void* h, float* x_out, int64_t* y_out) {
     b = std::move(L->ready.front());
     L->ready.pop();
   }
-  L->cv_space.notify_one();
+  // notify_all: only the worker holding the next seq may push, and it is
+  // not necessarily the one notify_one would wake
+  L->cv_space.notify_all();
   memcpy(x_out, b.x.data(), b.x.size() * sizeof(float));
   if (y_out && !b.y.empty())
     memcpy(y_out, b.y.data(), b.y.size() * sizeof(int64_t));

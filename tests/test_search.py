@@ -356,3 +356,23 @@ class TestReviewRegressions:
         sp = JointSpace(50, 4, 10, (1.0, 1.0), rng=pyrandom.Random(0))
         ts, skips = sp.random()     # min_cost == 0: must still terminate
         assert len(ts) <= 50
+
+    def test_joint_space_budget_equal_min_cost_terminates(self):
+        """budget == min_cost with integer hi*layer_num: _random_skip's
+        truncation could never emit the minimal cost and the rejection
+        loop hung forever (round-3 review, reproduced by timeout)."""
+        import random as pyrandom
+
+        from autodiffusion_tpu.search import JointSpace
+        sp = JointSpace(100, 10, 5, (0.0, 0.5), rng=pyrandom.Random(0))
+        for _ in range(10):
+            ts, skips = sp.random()
+            assert sp.is_feasible((ts, skips))
+            assert sp.budget_used(skips) <= 5
+
+    def test_fitness_discloses_actual_sample_count(self):
+        fit = TestBatchedFitness()._fitness(num_samples=30, batch_size=16)
+        # 30 rounds up to 2 batches of 16
+        assert fit.actual_samples == 32
+        fit2 = TestBatchedFitness()._fitness(num_samples=32, batch_size=16)
+        assert fit2.actual_samples == 32
