@@ -109,7 +109,11 @@ def main():
     compiled = lowered.compile()
     t_compile = time.time() - t0
     # XLA cost analysis counts a While (scan) body once; the K-step DDIM
-    # scan therefore under-reports by ~K. Scale to per-call totals.
+    # scan therefore under-reports by ~K. Scale to per-call totals. The
+    # once-executed ops outside the scan (initial normal, label randint,
+    # to_uint8: ~3 ops x B*64*64*3 ~ 1.2 MFLOP) get multiplied too, an
+    # overcount of (K-1) * ~1e6 against a ~25 GFLOP body — < 0.01%, far
+    # below run-to-run timing noise, so no prologue-separating compile.
     flops = counted.cost_analysis().get("flops", 0.0) * K
 
     # NB: on the axon relay block_until_ready can return before execution

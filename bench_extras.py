@@ -7,7 +7,10 @@ numbers users actually pay for and writes them to BENCH_EXTRAS.json:
                          + InceptionV3 pool3 features + streamed moments +
                          eigh Frechet, per candidate, at the bench config
                          (CHUNK=2 x BATCH=16) and at the published search
-                         config slice (batch 100, chunk 4 folded = N=400).
+                         config (batch 100, chunk 4; the production HBM cap
+                         splits each dispatch to 4 x 25 = 100 samples — the
+                         uncapped 400-sample fold needs 15.2 GB of 16,
+                         search/fitness.py).
   lsun256_ddim15       — published searched 15-step LSUN-bedroom schedule
                          (sample_LSUN_bedroom_subnet.sh), full 553M uncond
                          UNet, imgs/sec/chip.
@@ -277,6 +280,9 @@ BENCHES = {
 
 def main():
     names = sys.argv[1:] or list(BENCHES)
+    unknown = [n for n in names if n not in BENCHES]
+    if unknown:
+        sys.exit(f"unknown bench name(s) {unknown}; valid: {list(BENCHES)}")
     results = {}
     if os.path.exists(OUT):
         with open(OUT) as f:
