@@ -376,3 +376,44 @@ class TestReviewRegressions:
         assert fit.actual_samples == 32
         fit2 = TestBatchedFitness()._fitness(num_samples=32, batch_size=16)
         assert fit2.actual_samples == 32
+
+    def test_cli_maybe_resume_ea(self, tmp_path, capsys):
+        """--resume wires EvolutionSearcher.load into the CLI; without it a
+        re-run would overwrite ea_state.json and destroy the crashed run's
+        memoized FIDs (round-3 review)."""
+        import argparse
+
+        import pytest
+
+        from autodiffusion_tpu.cli.main import _maybe_resume_ea
+        from autodiffusion_tpu.search import EvolutionSearcher, TimestepSpace
+
+        calls = {"n": 0}
+        fit = lambda cands: [float(len(c)) for c in cands] 
+        ckpt = str(tmp_path / "ea_state.json")
+        s1 = EvolutionSearcher(TimestepSpace(100, 4), fit, population_num=4,
+                               select_num=2, mutation_num=1, crossover_num=1,
+                               max_epochs=1, checkpoint_path=ckpt)
+        s1.search()
+        assert (tmp_path / "ea_state.json").exists()
+
+        # --resume True loads the checkpoint
+        s2 = EvolutionSearcher(TimestepSpace(100, 4), fit, population_num=4,
+                               select_num=2, mutation_num=1, crossover_num=1,
+                               max_epochs=1, checkpoint_path=ckpt)
+        _maybe_resume_ea(s2, argparse.Namespace(resume=True))
+        assert s2.epoch == s1.epoch and s2.vis_dict == s1.vis_dict
+
+        # --resume without a checkpoint path fails loud
+        s3 = EvolutionSearcher(TimestepSpace(100, 4), fit, population_num=4,
+                               select_num=2, mutation_num=1, crossover_num=1,
+                               max_epochs=1, checkpoint_path=None)
+        with pytest.raises(ValueError, match="save_dir"):
+            _maybe_resume_ea(s3, argparse.Namespace(resume=True))
+
+        # no --resume: untouched searcher (plus a logged warning)
+        s4 = EvolutionSearcher(TimestepSpace(100, 4), fit, population_num=4,
+                               select_num=2, mutation_num=1, crossover_num=1,
+                               max_epochs=1, checkpoint_path=ckpt)
+        _maybe_resume_ea(s4, argparse.Namespace(resume=False))
+        assert s4.epoch == 0 and not s4.vis_dict
