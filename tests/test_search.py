@@ -383,37 +383,47 @@ class TestReviewRegressions:
         memoized FIDs (round-3 review)."""
         import argparse
 
-        import pytest
-
         from autodiffusion_tpu.cli.main import _maybe_resume_ea
-        from autodiffusion_tpu.search import EvolutionSearcher, TimestepSpace
 
         calls = {"n": 0}
-        fit = lambda cands: [float(len(c)) for c in cands] 
+
+        def fit(cands):
+            calls["n"] += len(cands)
+            return [float(len(c)) for c in cands]
+
         ckpt = str(tmp_path / "ea_state.json")
-        s1 = EvolutionSearcher(TimestepSpace(100, 4), fit, population_num=4,
-                               select_num=2, mutation_num=1, crossover_num=1,
-                               max_epochs=1, checkpoint_path=ckpt)
+
+        def mk(path):
+            return EvolutionSearcher(
+                TimestepSpace(100, 4), fit, population_num=4, select_num=2,
+                mutation_num=1, crossover_num=1, max_epochs=1,
+                checkpoint_path=path)
+
+        s1 = mk(ckpt)
         s1.search()
         assert (tmp_path / "ea_state.json").exists()
 
-        # --resume True loads the checkpoint
-        s2 = EvolutionSearcher(TimestepSpace(100, 4), fit, population_num=4,
-                               select_num=2, mutation_num=1, crossover_num=1,
-                               max_epochs=1, checkpoint_path=ckpt)
+        # --resume True loads the checkpoint, and the restored memo means
+        # known candidates are NOT re-paid (the stated point of resume)
+        s2 = mk(ckpt)
         _maybe_resume_ea(s2, argparse.Namespace(resume=True))
         assert s2.epoch == s1.epoch and s2.vis_dict == s1.vis_dict
+        paid = calls["n"]
+        s2._evaluate(list(s2.candidates))
+        assert calls["n"] == paid, "resume re-paid memoized fitness"
 
         # --resume without a checkpoint path fails loud
-        s3 = EvolutionSearcher(TimestepSpace(100, 4), fit, population_num=4,
-                               select_num=2, mutation_num=1, crossover_num=1,
-                               max_epochs=1, checkpoint_path=None)
         with pytest.raises(ValueError, match="save_dir"):
-            _maybe_resume_ea(s3, argparse.Namespace(resume=True))
+            _maybe_resume_ea(mk(None), argparse.Namespace(resume=True))
 
-        # no --resume: untouched searcher (plus a logged warning)
-        s4 = EvolutionSearcher(TimestepSpace(100, 4), fit, population_num=4,
-                               select_num=2, mutation_num=1, crossover_num=1,
-                               max_epochs=1, checkpoint_path=ckpt)
+        # --resume True with no file yet starts fresh (first run)
+        fresh = mk(str(tmp_path / "absent" / "ea_state.json"))
+        _maybe_resume_ea(fresh, argparse.Namespace(resume=True))
+        assert fresh.epoch == 0 and not fresh.vis_dict
+
+        # no --resume: untouched searcher, plus the logged overwrite note
+        capsys.readouterr()
+        s4 = mk(ckpt)
         _maybe_resume_ea(s4, argparse.Namespace(resume=False))
         assert s4.epoch == 0 and not s4.vis_dict
+        assert "--resume True" in capsys.readouterr().out
