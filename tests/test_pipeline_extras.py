@@ -730,3 +730,81 @@ class TestCLIReviewRegressions:
         assert rc == 0
         with np.load(out) as z:
             assert z["arr_0"].shape == (8, 16, 16, 3)
+
+
+class TestSearchCLIEndToEnd:
+    def test_search_cli_uncond_and_resume(self, tmp_path, capsys,
+                                          monkeypatch):
+        """The FULL `adt search` CLI offline: tiny msgpack checkpoint +
+        synthesized Inception + dense-random ref stats -> EA -> result
+        JSON, then a second run with --resume True continues from
+        ea_state.json without re-paying memoized FIDs. Guards the CLI
+        wiring (including _maybe_resume_ea call sites) that the on-chip
+        validations exercised but no offline test covered."""
+        import json as jsonlib
+
+        import torch
+
+        from autodiffusion_tpu.cli.main import main
+        from autodiffusion_tpu.fid import FIDInceptionV3, FIDStats
+        from autodiffusion_tpu.models import ModelConfig, create_model
+        from autodiffusion_tpu.utils.checkpoint import save_tree
+        from test_inception_loader import synthesize_torch_state
+
+        cfg = ModelConfig(image_size=16, num_channels=32, num_res_blocks=1,
+                          num_head_channels=32, attention_resolutions="8",
+                          channel_mult="1,2", class_cond=False,
+                          learn_sigma=True, noise_schedule="cosine",
+                          use_scale_shift_norm=True, resblock_updown=True,
+                          use_new_attention_order=True, use_bf16=False)
+        model = create_model(cfg)
+        p = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                       jnp.zeros((1,)))
+        ck = str(tmp_path / "model.msgpack")
+        save_tree(ck, p)
+
+        shapes = jax.eval_shape(lambda: FIDInceptionV3().init(
+            jax.random.key(1), jnp.zeros((1, 299, 299, 3))))
+        sd = synthesize_torch_state(
+            jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype),
+                                   shapes), np.random.RandomState(0))
+        ipath = str(tmp_path / "pt_inception.pth")
+        torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ipath)
+
+        # DENSE random ref stats — an eye/zeros fixture constant-folds
+        # trivially and hides closure-constant regressions (the round-3
+        # device-Frechet blowup was invisible to exactly such a fixture)
+        rngs = np.random.RandomState(2)
+        A = rngs.randn(2048, 2200) / 46.0
+        ref = FIDStats(rngs.randn(2048), A @ A.T)
+        rpath = str(tmp_path / "ref_stats.npz")
+        ref.save(rpath)
+
+        save_dir = str(tmp_path / "logs")
+        argv = ["search", "--model_path", ck, "--image_size", "16",
+                "--num_channels", "32", "--num_res_blocks", "1",
+                "--num_head_channels", "32", "--attention_resolutions", "8",
+                "--channel_mult", "1,2", "--class_cond", "False",
+                "--use_bf16", "False", "--inception_path", ipath,
+                "--ref_stats", rpath, "--num_samples", "8",
+                "--batch_size", "8", "--candidate_chunk", "2",
+                "--population_num", "4", "--select_num", "2",
+                "--mutation_num", "1", "--crossover_num", "1",
+                "--max_epochs", "1", "--time_step", "2",
+                "--save_dir", save_dir]
+        rc = main(argv)
+        out1 = capsys.readouterr().out
+        assert rc == 0
+        result = jsonlib.loads(out1.strip().splitlines()[-1])
+        assert len(result["best"]) == 2 and np.isfinite(result["fid"])
+        assert (tmp_path / "logs" / "ea_state.json").exists()
+
+        # resume: epoch already complete -> no fresh fitness evaluations,
+        # same best candidate, and the resumed log line appears
+        rc2 = main(argv + ["--resume", "True"])
+        out2 = capsys.readouterr().out
+        assert rc2 == 0
+        assert "resumed search at epoch" in out2
+        result2 = jsonlib.loads(out2.strip().splitlines()[-1])
+        assert result2["best"] == result["best"]
+        assert abs(result2["fid"] - result["fid"]) < 1e-6
