@@ -1,0 +1,197 @@
+"""Implicit-im2col 3x3 convolution (Pallas, TPU) for the UNet's hot convs.
+
+Motivation (BENCH_NOTES.md "Round-3 conv roofline"): XLA's conv emitter
+achieves only ~50% of MXU peak on the ADM-64 res64 shape (64x64, 192->192),
+while the *same contraction* expressed as one im2col'd dot
+([B*H*W, 9*C_in] x [9*C_in, C_out]) measures 90.4% peak — but materializing
+the patches operand in HBM costs more bandwidth than it saves. This kernel
+builds the patch matrix **in VMEM, one row-tile at a time**, so the big-K
+dot runs at its measured-efficient shape while HBM sees only the original
+input (plus a 1-pixel zero halo) and the output:
+
+    grid (B, H/tile_h); per step:
+      DMA x_pad[b, i*tile_h : i*tile_h + tile_h + 2]  (HBM -> VMEM, w/ halo)
+      9 VMEM copies -> patches[tile_h, W, 9*C_in]      (the implicit im2col)
+      one MXU dot  [tile_h*W, 9*C_in] x [9*C_in, C_out] -> f32
+      (+ bias) -> out[b, i]
+
+Forward-only: sampling (the product path, SURVEY.md section 3.1) never
+differentiates through the UNet's convs — classifier guidance grads only the
+classifier. `conv3x3` still carries a custom_vjp whose backward is the XLA
+conv's own VJP, so accidental differentiation is correct, never silent.
+
+Semantics match flax nn.Conv(features, (3,3), padding=1) exactly: NHWC x
+HWIO, stride 1, SAME padding (guided_diffusion/unet.py:216-252 ResBlock
+convs are the dominant consumers). Opt-in via ADT_IM2COL_CONV=1 pending an
+on-chip measurement (the ledger's prior Mosaic kernels at neighboring
+shapes measured net negative; estimated ceiling here is ~65-75% of peak on
+res64, i.e. ~+5% headline MFU).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["conv3x3", "conv3x3_im2col", "resolve_use_im2col"]
+
+# Patch-matrix VMEM budget per grid step (bf16 bytes). With double-buffered
+# weights/out blocks and the halo tile this keeps total VMEM well under the
+# ~16 MB/core ceiling.
+_PATCH_BYTES_BUDGET = 4 * 1024 * 1024
+
+
+def resolve_use_im2col(use: object, h: int, w: int, c_in: int,
+                       c_out: int) -> bool:
+    """Resolve "auto" | True | False for one conv site.
+
+    Requires a real TPU backend (Mosaic lowering) and a shape the kernel
+    handles (static H divisible by some tile, 3x3 stride-1 SAME). "auto" is
+    additionally gated on ADT_IM2COL_CONV=1 — default OFF until the on-chip
+    measurement lands (BENCH_NOTES.md ledger discipline: neighboring Mosaic
+    kernels measured net negative; do not enable unmeasured kernels).
+    """
+    if jax.default_backend() != "tpu":
+        return False
+    if _pick_tile_h(h, w, c_in) is None:
+        return False
+    if use == "auto":
+        return os.environ.get("ADT_IM2COL_CONV", "0") == "1"
+    return bool(use)
+
+
+def _pick_tile_h(h: int, w: int, c_in: int) -> Optional[int]:
+    """Largest divisor of H whose patch matrix fits the VMEM budget, aiming
+    for M = tile_h * W >= 256 rows so the MXU's M streaming stays busy."""
+    best = None
+    for th in range(1, h + 1):
+        if h % th:
+            continue
+        patch_bytes = th * w * 9 * c_in * 2  # bf16
+        if patch_bytes > _PATCH_BYTES_BUDGET:
+            break
+        best = th
+        if th * w >= 512:  # diminishing returns past ~512 rows
+            break
+    if best is not None and best * w < 8:  # degenerate sublane dim
+        return None
+    return best
+
+
+def _conv_kernel(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches, sem, *,
+                 tile_h: int, wdim: int, c_in: int, has_bias: bool):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(ti * tile_h, tile_h + 2)], xtile, sem)
+    cp.start()
+    cp.wait()
+
+    # Implicit im2col: 9 shifted [tile_h, W, C] windows of the halo tile
+    # laid side by side along the contraction dim. Column block dh*3+dw must
+    # match the HWIO weight reshape (rows (dh*3+dw)*C_in + ci).
+    for dh in range(3):
+        for dw in range(3):
+            j = dh * 3 + dw
+            patches[:, :, j * c_in:(j + 1) * c_in] = (
+                xtile[dh:dh + tile_h, dw:dw + wdim, :])
+
+    p = patches[...].reshape(tile_h * wdim, 9 * c_in)
+    acc = jnp.dot(p, wmat_ref[...], preferred_element_type=jnp.float32)
+    if has_bias:
+        acc = acc + bias_ref[...].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
+                   bias: Optional[jnp.ndarray] = None, *,
+                   tile_h: Optional[int] = None,
+                   interpret: bool = False) -> jnp.ndarray:
+    """3x3 stride-1 SAME conv, NHWC x HWIO -> NHWC (forward only).
+
+    x: [B, H, W, C_in]; w: [3, 3, C_in, C_out]; bias: [C_out] or None.
+    """
+    b, h, wdim, c_in = x.shape
+    kh, kw, wc_in, c_out = w.shape
+    if (kh, kw) != (3, 3) or wc_in != c_in:
+        raise ValueError(f"conv3x3_im2col needs [3,3,{c_in},*] weights, "
+                         f"got {w.shape}")
+    th = tile_h if tile_h is not None else _pick_tile_h(h, wdim, c_in)
+    if th is None or h % th:
+        raise ValueError(f"no valid row tile for H={h} (tile_h={tile_h})")
+
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wmat = w.reshape(9 * c_in, c_out)
+    has_bias = bias is not None
+    bias2d = (bias.reshape(1, c_out) if has_bias
+              else jnp.zeros((1, c_out), w.dtype))
+
+    grid = (b, h // th)
+    kernel = functools.partial(_conv_kernel, tile_h=th, wdim=wdim,
+                               c_in=c_in, has_bias=has_bias)
+    flat = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),         # x_pad stays in HBM
+            pl.BlockSpec((9 * c_in, c_out), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th * wdim, c_out),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h * wdim, c_out), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, wdim + 2, c_in), x.dtype),
+            pltpu.VMEM((th, wdim, 9 * c_in), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x_pad, wmat, bias2d)
+    return flat.reshape(b, h, wdim, c_out)
+
+
+def _xla_conv3x3(x, w, bias):
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3(x, w, bias, tile_h=None, interpret=False):
+    """conv3x3_im2col with a correct (XLA-conv) backward.
+
+    The product path never takes this VJP (sampling does not differentiate
+    UNet convs); it exists so a stray jax.grad is exact instead of an error.
+    """
+    return conv3x3_im2col(x, w, bias, tile_h=tile_h, interpret=interpret)
+
+
+def _conv3x3_fwd(x, w, bias, tile_h, interpret):
+    return conv3x3(x, w, bias, tile_h, interpret), (x, w, bias)
+
+
+def _conv3x3_bwd(tile_h, interpret, res, g):
+    x, w, bias = res
+    if bias is None:
+        _, vjp = jax.vjp(lambda x_, w_: _xla_conv3x3(x_, w_, None), x, w)
+        dx, dw = vjp(g)
+        return dx, dw, None
+    _, vjp = jax.vjp(_xla_conv3x3, x, w, bias)
+    return vjp(g)
+
+
+conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)

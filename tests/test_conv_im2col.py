@@ -1,0 +1,107 @@
+"""Implicit-im2col 3x3 conv kernel vs lax.conv / flax nn.Conv.
+
+Runs the Pallas kernel in interpret mode (CPU): forward parity against
+jax.lax.conv_general_dilated (the exact op flax nn.Conv lowers to for a
+3x3 stride-1 padding-1 NHWC conv), plus the custom_vjp backward against
+the XLA conv's own gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autodiffusion_tpu.ops.conv_im2col import (conv3x3, conv3x3_im2col,
+                                               _pick_tile_h,
+                                               resolve_use_im2col)
+
+
+def _xla(x, w, bias=None):
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+SHAPES = [
+    # (B, H, W, C_in, C_out, tile_h) — small proxies for the ADM levels
+    (2, 8, 8, 24, 16, 4),
+    (1, 6, 10, 8, 8, 3),
+    (2, 8, 8, 24, 16, None),   # auto tile
+    (1, 4, 4, 3, 5, 2),        # non-lane-aligned channels
+]
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+@pytest.mark.parametrize("bias", [False, True])
+def test_forward_parity(shape, bias):
+    b, h, w, cin, cout, th = shape
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(ks[0], (b, h, w, cin), jnp.float32)
+    wk = jax.random.normal(ks[1], (3, 3, cin, cout), jnp.float32) * 0.1
+    bk = jax.random.normal(ks[2], (cout,), jnp.float32) if bias else None
+
+    got = conv3x3_im2col(x, wk, bk, tile_h=th, interpret=True)
+    want = _xla(x, wk, bk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_forward_parity_bf16():
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    x = jax.random.normal(ks[0], (2, 8, 8, 16), jnp.bfloat16)
+    wk = (jax.random.normal(ks[1], (3, 3, 16, 16), jnp.float32) * 0.1
+          ).astype(jnp.bfloat16)
+    got = conv3x3_im2col(x, wk, tile_h=4, interpret=True)
+    # Kernel accumulates the dot in f32; compare against an f32 reference
+    # with a bf16-level tolerance.
+    want = _xla(x.astype(jnp.float32), wk.astype(jnp.float32))
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("bias", [False, True])
+def test_custom_vjp_backward(bias):
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    x = jax.random.normal(ks[0], (1, 4, 6, 8), jnp.float32)
+    wk = jax.random.normal(ks[1], (3, 3, 8, 8), jnp.float32) * 0.2
+    bk = jax.random.normal(ks[2], (8,), jnp.float32) if bias else None
+    g = jax.random.normal(ks[3], (1, 4, 6, 8), jnp.float32)
+
+    def loss_kernel(x_, w_, b_):
+        return jnp.sum(conv3x3(x_, w_, b_, 2, True) * g)
+
+    def loss_ref(x_, w_, b_):
+        return jnp.sum(_xla(x_, w_, b_) * g)
+
+    if bias:
+        got = jax.grad(loss_kernel, argnums=(0, 1, 2))(x, wk, bk)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2))(x, wk, bk)
+    else:
+        got = jax.grad(loss_kernel, argnums=(0, 1))(x, wk, bk)
+        want = jax.grad(loss_ref, argnums=(0, 1))(x, wk, bk)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_tile_picker_and_gate():
+    # ADM-64 res64: H=64 tiles at 8 rows (512-row patch matrix, <=4MB bf16)
+    assert _pick_tile_h(64, 64, 192) == 8
+    # res16 at 576 channels: whole-image rows still fit
+    th = _pick_tile_h(16, 16, 576)
+    assert th is not None and 16 % th == 0
+    # gate: off-TPU always False, even when forced
+    assert resolve_use_im2col(True, 64, 64, 192, 192) is False
+    assert resolve_use_im2col("auto", 64, 64, 192, 192) is False
+
+
+def test_bad_shapes_raise():
+    x = jnp.zeros((1, 8, 8, 4))
+    with pytest.raises(ValueError):
+        conv3x3_im2col(x, jnp.zeros((5, 5, 4, 4)), interpret=True)
+    with pytest.raises(ValueError):
+        conv3x3_im2col(x, jnp.zeros((3, 3, 4, 4)), tile_h=3, interpret=True)
