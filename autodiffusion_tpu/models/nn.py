@@ -124,6 +124,43 @@ class GroupNorm32(nn.Module):
         return h
 
 
+class Conv3x3(nn.Module):
+    """Drop-in stride-1 3x3 SAME conv with an optional Pallas im2col path.
+
+    Parameter tree (kernel [3,3,Cin,Cout] f32, bias [Cout] f32 under this
+    module's name) is byte-identical to ``nn.Conv(features, (3,3),
+    padding=1)`` so every published-checkpoint converter keeps working.
+    The forward dispatches through ops.resolve_use_im2col — the ONE gate
+    for the implicit-im2col kernel (ops/conv_im2col.py); default "auto" is
+    off until the on-chip measurement lands (ADT_IM2COL_CONV=1 to enable).
+    The fallback is flax nn.Conv's exact lowering (lax.conv_general_dilated
+    NHWC/HWIO + bias add after dtype promotion).
+    """
+
+    features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+    use_im2col: Any = "auto"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.conv_im2col import conv3x3, resolve_use_im2col
+
+        b, h, w, c_in = x.shape
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, c_in, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        if resolve_use_im2col(self.use_im2col, h, w, c_in, self.features):
+            return conv3x3(x, kernel, bias)
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + bias.reshape((1,) * (out.ndim - 1) + (-1,))
+
+
 class Upsample(nn.Module):
     """2x nearest-neighbor upsample, optional 3x3 conv (unet.py:81-109)."""
 
@@ -140,8 +177,8 @@ class Upsample(nn.Module):
         x = jnp.broadcast_to(x[:, :, None, :, None, :],
                              (b, h, 2, w, 2, c)).reshape(b, 2 * h, 2 * w, c)
         if self.use_conv:
-            x = nn.Conv(self.out_channels or c, (3, 3), padding=1,
-                        dtype=self.dtype, name="conv")(x)
+            x = Conv3x3(self.out_channels or c, dtype=self.dtype,
+                        name="conv")(x)
         return x
 
 

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .nn import Downsample, GroupNorm32, Upsample, timestep_embedding, zero_init
+from .nn import (Conv3x3, Downsample, GroupNorm32, Upsample,
+                 timestep_embedding, zero_init)
 
 Dtype = Any
 
@@ -101,8 +102,7 @@ class ResBlock(nn.Module):
             if c_out == c_in:
                 return x
             if self.use_conv_skip:
-                return nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype,
-                               name="skip")(x)
+                return Conv3x3(c_out, dtype=self.dtype, name="skip")(x)
             return nn.Conv(c_out, (1, 1), dtype=self.dtype, name="skip")(x)
 
         h = GroupNorm32(use_fused=self.fused_norm, name="in_norm")(x, act="silu")
@@ -112,7 +112,7 @@ class ResBlock(nn.Module):
         elif self.down:
             h = Downsample(use_conv=False, dtype=self.dtype, name="h_upd")(h)
             x = Downsample(use_conv=False, dtype=self.dtype, name="x_upd")(x)
-        h = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+        h = Conv3x3(c_out, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = nn.Dense(2 * c_out if self.use_scale_shift_norm else c_out,
                            dtype=self.dtype, name="emb_proj")(nn.silu(emb))
@@ -125,13 +125,13 @@ class ResBlock(nn.Module):
             h = GroupNorm32(use_fused=self.fused_norm, name="out_norm")(
                 h, act="silu")
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(c_out, (3, 3), padding=1, kernel_init=zero_init,
-                    dtype=self.dtype, name="out_conv")(h)
+        h = Conv3x3(c_out, kernel_init=zero_init, dtype=self.dtype,
+                    name="out_conv")(h)
 
         if c_out == c_in:
             skip = x
         elif self.use_conv_skip:
-            skip = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="skip")(x)
+            skip = Conv3x3(c_out, dtype=self.dtype, name="skip")(x)
         else:
             skip = nn.Conv(c_out, (1, 1), dtype=self.dtype, name="skip")(x)
 

@@ -59,6 +59,11 @@ def resolve_use_im2col(use: object, h: int, w: int, c_in: int,
     """
     if jax.default_backend() != "tpu":
         return False
+    if c_in < 64 or c_out < 64:
+        # tiny contraction dims (the RGB stem conv, K = 9*3) or tiny output
+        # dims (the final to-eps projection, N = 6) leave the MXU idle;
+        # XLA's direct conv is the right tool there
+        return False
     if _pick_tile_h(h, w, c_in) is None:
         return False
     if use == "auto":
@@ -84,16 +89,8 @@ def _pick_tile_h(h: int, w: int, c_in: int) -> Optional[int]:
     return best
 
 
-def _conv_kernel(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches, sem, *,
-                 tile_h: int, wdim: int, c_in: int, has_bias: bool):
-    bi = pl.program_id(0)
-    ti = pl.program_id(1)
-
-    cp = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(ti * tile_h, tile_h + 2)], xtile, sem)
-    cp.start()
-    cp.wait()
-
+def _im2col_dot(wmat_ref, bias_ref, out_ref, xtile, patches, *,
+                tile_h: int, wdim: int, c_in: int, has_bias: bool):
     # Implicit im2col: 9 shifted [tile_h, W, C] windows of the halo tile
     # laid side by side along the contraction dim. Column block dh*3+dw must
     # match the HWIO weight reshape (rows (dh*3+dw)*C_in + ci).
@@ -110,37 +107,116 @@ def _conv_kernel(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches, sem, *,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+def _conv_kernel(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches, sem, *,
+                 tile_h: int, wdim: int, c_in: int, has_bias: bool):
+    """pad="xla" variant: x_hbm is pre-padded [B, H+2, W+2, C]."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(ti * tile_h, tile_h + 2)], xtile, sem)
+    cp.start()
+    cp.wait()
+    _im2col_dot(wmat_ref, bias_ref, out_ref, xtile, patches,
+                tile_h=tile_h, wdim=wdim, c_in=c_in, has_bias=has_bias)
+
+
+def _conv_kernel_padfree(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches,
+                         sems, *, tile_h: int, wdim: int, c_in: int,
+                         has_bias: bool):
+    """pad="kernel" variant: x_hbm is the UNPADDED [B, H, W, C] input; the
+    1-pixel zero halo is assembled in VMEM (zeroed columns + conditional
+    edge rows), so the input never takes the XLA pad's extra HBM round
+    trip (~2x the input traffic at res64 — the pad output cannot fuse into
+    a custom call)."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    r0 = ti * tile_h
+
+    # W halo columns are always zero; they are never DMA-targeted, so this
+    # write has no ordering hazard with the copies below.
+    xtile[:, 0, :] = jnp.zeros((tile_h + 2, c_in), xtile.dtype)
+    xtile[:, wdim + 1, :] = jnp.zeros((tile_h + 2, c_in), xtile.dtype)
+
+    interior = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(r0, tile_h)],
+        xtile.at[pl.ds(1, tile_h), pl.ds(1, wdim)], sems.at[0])
+    interior.start()
+
+    @pl.when(ti == 0)
+    def _():
+        xtile[0, 1:wdim + 1, :] = jnp.zeros((wdim, c_in), xtile.dtype)
+
+    @pl.when(ti > 0)
+    def _():
+        top = pltpu.make_async_copy(
+            x_hbm.at[bi, r0 - 1], xtile.at[0, pl.ds(1, wdim)], sems.at[1])
+        top.start()
+        top.wait()
+
+    @pl.when(ti == n_t - 1)
+    def _():
+        xtile[tile_h + 1, 1:wdim + 1, :] = jnp.zeros((wdim, c_in),
+                                                     xtile.dtype)
+
+    @pl.when(ti < n_t - 1)
+    def _():
+        bot = pltpu.make_async_copy(
+            x_hbm.at[bi, r0 + tile_h],
+            xtile.at[tile_h + 1, pl.ds(1, wdim)], sems.at[2])
+        bot.start()
+        bot.wait()
+
+    interior.wait()
+    _im2col_dot(wmat_ref, bias_ref, out_ref, xtile, patches,
+                tile_h=tile_h, wdim=wdim, c_in=c_in, has_bias=has_bias)
+
+
 def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
                    bias: Optional[jnp.ndarray] = None, *,
                    tile_h: Optional[int] = None,
+                   pad: str = "kernel",
                    interpret: bool = False) -> jnp.ndarray:
     """3x3 stride-1 SAME conv, NHWC x HWIO -> NHWC (forward only).
 
     x: [B, H, W, C_in]; w: [3, 3, C_in, C_out]; bias: [C_out] or None.
+    pad: "kernel" assembles the zero halo in VMEM (no extra HBM pass);
+    "xla" pre-pads with jnp.pad (kept for the A/B probe).
     """
     b, h, wdim, c_in = x.shape
     kh, kw, wc_in, c_out = w.shape
     if (kh, kw) != (3, 3) or wc_in != c_in:
         raise ValueError(f"conv3x3_im2col needs [3,3,{c_in},*] weights, "
                          f"got {w.shape}")
+    if pad not in ("kernel", "xla"):
+        raise ValueError(f"pad must be 'kernel' or 'xla', got {pad!r}")
     th = tile_h if tile_h is not None else _pick_tile_h(h, wdim, c_in)
     if th is None or h % th:
         raise ValueError(f"no valid row tile for H={h} (tile_h={tile_h})")
 
-    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wmat = w.reshape(9 * c_in, c_out)
     has_bias = bias is not None
     bias2d = (bias.reshape(1, c_out) if has_bias
               else jnp.zeros((1, c_out), w.dtype))
 
+    if pad == "xla":
+        x_in = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        kernel = functools.partial(_conv_kernel, tile_h=th, wdim=wdim,
+                                   c_in=c_in, has_bias=has_bias)
+        sems = pltpu.SemaphoreType.DMA(())
+    else:
+        x_in = x
+        kernel = functools.partial(_conv_kernel_padfree, tile_h=th,
+                                   wdim=wdim, c_in=c_in, has_bias=has_bias)
+        sems = pltpu.SemaphoreType.DMA((3,))
+
     grid = (b, h // th)
-    kernel = functools.partial(_conv_kernel, tile_h=th, wdim=wdim,
-                               c_in=c_in, has_bias=has_bias)
     flat = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),         # x_pad stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),         # input stays in HBM
             pl.BlockSpec((9 * c_in, c_out), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_out), lambda bi, ti: (0, 0),
@@ -153,10 +229,10 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((th + 2, wdim + 2, c_in), x.dtype),
             pltpu.VMEM((th, wdim, 9 * c_in), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            sems,
         ],
         interpret=interpret,
-    )(x_pad, wmat, bias2d)
+    )(x_in, wmat, bias2d)
     return flat.reshape(b, h, wdim, c_out)
 
 

@@ -36,16 +36,28 @@ SHAPES = [
 
 @pytest.mark.parametrize("shape", SHAPES)
 @pytest.mark.parametrize("bias", [False, True])
-def test_forward_parity(shape, bias):
+@pytest.mark.parametrize("pad", ["kernel", "xla"])
+def test_forward_parity(shape, bias, pad):
     b, h, w, cin, cout, th = shape
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     x = jax.random.normal(ks[0], (b, h, w, cin), jnp.float32)
     wk = jax.random.normal(ks[1], (3, 3, cin, cout), jnp.float32) * 0.1
     bk = jax.random.normal(ks[2], (cout,), jnp.float32) if bias else None
 
-    got = conv3x3_im2col(x, wk, bk, tile_h=th, interpret=True)
+    got = conv3x3_im2col(x, wk, bk, tile_h=th, pad=pad, interpret=True)
     want = _xla(x, wk, bk)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_single_row_tiles_edge_halo():
+    # tile_h=1 makes every tile an edge or interior-halo case; catches
+    # off-by-ones in the conditional top/bottom halo DMAs of pad="kernel".
+    ks = jax.random.split(jax.random.PRNGKey(3), 2)
+    x = jax.random.normal(ks[0], (1, 5, 4, 8), jnp.float32)
+    wk = jax.random.normal(ks[1], (3, 3, 8, 8), jnp.float32) * 0.1
+    got = conv3x3_im2col(x, wk, tile_h=1, pad="kernel", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_xla(x, wk)),
                                rtol=1e-5, atol=1e-5)
 
 
@@ -97,6 +109,49 @@ def test_tile_picker_and_gate():
     # gate: off-TPU always False, even when forced
     assert resolve_use_im2col(True, 64, 64, 192, 192) is False
     assert resolve_use_im2col("auto", 64, 64, 192, 192) is False
+
+
+def test_conv3x3_module_matches_nn_conv():
+    # Same init RNG -> identical params (tree paths match nn.Conv), and the
+    # fallback forward is bit-identical to flax nn.Conv's lowering.
+    from flax import linen as fnn
+
+    from autodiffusion_tpu.models.nn import Conv3x3
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 16), jnp.float32)
+    mod = Conv3x3(24)
+    ref = fnn.Conv(24, (3, 3), padding=1)
+    params = mod.init(jax.random.PRNGKey(7), x)
+    params_ref = ref.init(jax.random.PRNGKey(7), x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, params_ref)
+    np.testing.assert_array_equal(np.asarray(mod.apply(params, x)),
+                                  np.asarray(ref.apply(params_ref, x)))
+
+
+def test_conv3x3_module_im2col_dispatch(monkeypatch):
+    # Force the gate open (it requires a TPU backend normally) and route the
+    # kernel through interpret mode: the module's Pallas path must agree
+    # with its own fallback.
+    import functools as ft
+
+    import autodiffusion_tpu.ops.conv_im2col as ci
+    from autodiffusion_tpu.models.nn import Conv3x3
+
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 8, 16), jnp.float32)
+    mod = Conv3x3(16)
+    params = mod.init(jax.random.PRNGKey(9), x)
+    want = mod.apply(params, x)
+
+    monkeypatch.setattr(ci, "resolve_use_im2col", lambda *a, **k: True)
+    monkeypatch.setattr(
+        ci, "conv3x3",
+        lambda x_, w_, b_: ci.conv3x3_im2col(x_, w_, b_, interpret=True))
+    got = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_bad_shapes_raise():
