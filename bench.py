@@ -30,12 +30,43 @@ import jax.numpy as jnp
 import numpy as np
 
 V5E_PEAK_BF16_TFLOPS = 197.0
+
+
+def probe_backend_or_die(timeout_s: int = 240) -> None:
+    """Fail fast (bounded) when the tunneled TPU backend is unreachable.
+
+    The axon tunnel sometimes goes UNAVAILABLE for stretches; initializing
+    the backend in-process then hangs for ~25 min before erroring (observed
+    in the round-3 outage), which would stall the driver's round-end bench
+    run. A healthy init is ~10-30 s, so probe it in a killable subprocess
+    first and exit(2) with a clear message instead of hanging.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("ADT_SKIP_BACKEND_PROBE") == "1":
+        return
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        ok = proc.returncode == 0
+        backend = proc.stdout.strip()
+    except subprocess.TimeoutExpired:
+        ok, backend = False, ""
+    if not ok:
+        print(f"bench: TPU backend unreachable (probe "
+              f"{'timed out' if not backend else 'failed'} after "
+              f"{timeout_s}s) — tunnel outage? retry later", file=sys.stderr)
+        raise SystemExit(2)
 CHUNK = 2          # candidates folded into the batch
 BATCH = 16         # images per candidate per batch
 K = 4              # searched timesteps (headline config)
 
 
 def main():
+    probe_backend_or_die()
     from autodiffusion_tpu.models import (ClassifierConfig, ModelConfig,
                                           create_classifier, create_model)
     from autodiffusion_tpu.samplers import classifier_cond_fn, ddim_sample_loop

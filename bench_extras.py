@@ -279,10 +279,13 @@ BENCHES = {
 
 
 def main():
+    from bench import probe_backend_or_die
+
     names = sys.argv[1:] or list(BENCHES)
     unknown = [n for n in names if n not in BENCHES]
     if unknown:
         sys.exit(f"unknown bench name(s) {unknown}; valid: {list(BENCHES)}")
+    probe_backend_or_die()
     results = {}
     if os.path.exists(OUT):
         with open(OUT) as f:
