@@ -45,6 +45,9 @@ __all__ = ["conv3x3", "conv3x3_im2col", "resolve_use_im2col"]
 # weights/out blocks and the halo tile this keeps total VMEM well under the
 # ~16 MB/core ceiling.
 _PATCH_BYTES_BUDGET = 4 * 1024 * 1024
+# Weight-matrix [9*C_in, C_out] VMEM budget: it is resident for the whole
+# pallas_call next to the patch tile (ADM's largest, 576->576, is 6.0 MB).
+_WMAT_BYTES_BUDGET = 6 * 1024 * 1024 + 64 * 1024
 
 
 def resolve_use_im2col(use: object, h: int, w: int, c_in: int,
@@ -63,6 +66,12 @@ def resolve_use_im2col(use: object, h: int, w: int, c_in: int,
         # tiny contraction dims (the RGB stem conv, K = 9*3) or tiny output
         # dims (the final to-eps projection, N = 6) leave the MXU idle;
         # XLA's direct conv is the right tool there
+        return False
+    if 9 * c_in * c_out * 2 > _WMAT_BYTES_BUDGET:
+        # the whole [9*C_in, C_out] weight matrix lives in VMEM alongside
+        # the patch tile; SD's deepest level (1280->1280 = 29.5 MB bf16)
+        # cannot fit. Splitting C_out over the grid is a possible future
+        # refinement; until then XLA handles these.
         return False
     if _pick_tile_h(h, w, c_in) is None:
         return False

@@ -120,17 +120,22 @@ def main():
     # on the wrapped callable, so two jax.jit(sample) calls would share
     # one trace and the env-var gate below would never re-apply.
     import os
-    prev_gate = os.environ.get("ADT_FLASH_MIN_TOKENS")
+    prev_gates = {k: os.environ.get(k)
+                  for k in ("ADT_FLASH_MIN_TOKENS", "ADT_IM2COL_CONV")}
     os.environ["ADT_FLASH_MIN_TOKENS"] = str(1 << 30)
+    # the im2col conv is a Pallas custom call too: force the counting
+    # twin onto XLA's visible conv regardless of what the timed run uses
+    os.environ["ADT_IM2COL_CONV"] = "0"
     t0 = time.time()
     try:
         counted = jax.jit(lambda *a: sample(*a)).lower(
             params, cparams, per_sample, jax.random.key(0)).compile()
     finally:
-        if prev_gate is None:
-            del os.environ["ADT_FLASH_MIN_TOKENS"]
-        else:
-            os.environ["ADT_FLASH_MIN_TOKENS"] = prev_gate
+        for k, prev in prev_gates.items():
+            if prev is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = prev
     t_count = time.time() - t0
     f = jax.jit(lambda *a: sample(*a))
     t0 = time.time()

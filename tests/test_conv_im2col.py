@@ -154,6 +154,25 @@ def test_conv3x3_module_im2col_dispatch(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_gate_shape_bounds(monkeypatch):
+    import autodiffusion_tpu.ops.conv_im2col as ci
+
+    monkeypatch.setattr(ci.jax, "default_backend", lambda: "tpu")
+    # SD deepest level: [9*1280, 1280] weights (29.5 MB bf16) exceed VMEM
+    assert ci.resolve_use_im2col(True, 8, 8, 1280, 1280) is False
+    # tiny channel dims idle the MXU
+    assert ci.resolve_use_im2col(True, 64, 64, 3, 192) is False
+    assert ci.resolve_use_im2col(True, 64, 64, 192, 6) is False
+    # ADM/SD hot shapes pass when forced...
+    assert ci.resolve_use_im2col(True, 64, 64, 192, 192) is True
+    assert ci.resolve_use_im2col(True, 64, 64, 320, 320) is True
+    # ...and "auto" follows the env gate
+    monkeypatch.delenv("ADT_IM2COL_CONV", raising=False)
+    assert ci.resolve_use_im2col("auto", 64, 64, 192, 192) is False
+    monkeypatch.setenv("ADT_IM2COL_CONV", "1")
+    assert ci.resolve_use_im2col("auto", 64, 64, 192, 192) is True
+
+
 def test_bad_shapes_raise():
     x = jnp.zeros((1, 8, 8, 4))
     with pytest.raises(ValueError):
