@@ -144,7 +144,8 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.conv_im2col import conv3x3, resolve_use_im2col
+        from ..ops.conv_im2col import (_xla_conv3x3, conv3x3,
+                                       resolve_use_im2col)
 
         b, h, w, c_in = x.shape
         kernel = self.param("kernel", self.kernel_init,
@@ -153,12 +154,10 @@ class Conv3x3(nn.Module):
                           (self.features,), jnp.float32)
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
-        if resolve_use_im2col(self.use_im2col, h, w, c_in, self.features):
+        if resolve_use_im2col(self.use_im2col, h, w, c_in, self.features,
+                              x.dtype):
             return conv3x3(x, kernel, bias)
-        out = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return out + bias.reshape((1,) * (out.ndim - 1) + (-1,))
+        return _xla_conv3x3(x, kernel, bias)
 
 
 class Upsample(nn.Module):

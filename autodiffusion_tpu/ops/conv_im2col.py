@@ -15,10 +15,13 @@ input (plus a 1-pixel zero halo) and the output:
       one MXU dot  [tile_h*W, 9*C_in] x [9*C_in, C_out] -> f32
       (+ bias) -> out[b, i]
 
-Forward-only: sampling (the product path, SURVEY.md section 3.1) never
-differentiates through the UNet's convs — classifier guidance grads only the
-classifier. `conv3x3` still carries a custom_vjp whose backward is the XLA
-conv's own VJP, so accidental differentiation is correct, never silent.
+The Pallas kernel is forward-only; `conv3x3` carries a custom_vjp whose
+backward delegates to the XLA conv's own VJP. That backward IS a hot path
+when the gate is on: classifier guidance jax.grad's through the classifier's
+ResBlock convs every sampling step (guidance.py), so the enabled
+configuration runs Pallas forwards + XLA conv-transpose backwards — bench.py
+times exactly that composition (the guided step includes the classifier
+fwd+VJP).
 
 Semantics match flax nn.Conv(features, (3,3), padding=1) exactly: NHWC x
 HWIO, stride 1, SAME padding (guided_diffusion/unet.py:216-252 ResBlock
@@ -51,7 +54,7 @@ _WMAT_BYTES_BUDGET = 6 * 1024 * 1024 + 64 * 1024
 
 
 def resolve_use_im2col(use: object, h: int, w: int, c_in: int,
-                       c_out: int) -> bool:
+                       c_out: int, dtype=jnp.bfloat16) -> bool:
     """Resolve "auto" | True | False for one conv site.
 
     Requires a real TPU backend (Mosaic lowering) and a shape the kernel
@@ -67,27 +70,30 @@ def resolve_use_im2col(use: object, h: int, w: int, c_in: int,
         # dims (the final to-eps projection, N = 6) leave the MXU idle;
         # XLA's direct conv is the right tool there
         return False
-    if 9 * c_in * c_out * 2 > _WMAT_BYTES_BUDGET:
+    itemsize = jnp.dtype(dtype).itemsize
+    if 9 * c_in * c_out * itemsize > _WMAT_BYTES_BUDGET:
         # the whole [9*C_in, C_out] weight matrix lives in VMEM alongside
         # the patch tile; SD's deepest level (1280->1280 = 29.5 MB bf16)
         # cannot fit. Splitting C_out over the grid is a possible future
         # refinement; until then XLA handles these.
         return False
-    if _pick_tile_h(h, w, c_in) is None:
+    if _pick_tile_h(h, w, c_in, itemsize) is None:
         return False
     if use == "auto":
         return os.environ.get("ADT_IM2COL_CONV", "0") == "1"
     return bool(use)
 
 
-def _pick_tile_h(h: int, w: int, c_in: int) -> Optional[int]:
-    """Largest divisor of H whose patch matrix fits the VMEM budget, aiming
-    for M = tile_h * W >= 256 rows so the MXU's M streaming stays busy."""
+def _pick_tile_h(h: int, w: int, c_in: int,
+                 itemsize: int = 2) -> Optional[int]:
+    """Largest divisor of H whose patch matrix fits the VMEM budget,
+    stopping once M = tile_h * W reaches 512 rows (MXU M streaming is
+    saturated well before that; bigger tiles only cost VMEM)."""
     best = None
     for th in range(1, h + 1):
         if h % th:
             continue
-        patch_bytes = th * w * 9 * c_in * 2  # bf16
+        patch_bytes = th * w * 9 * c_in * itemsize
         if patch_bytes > _PATCH_BYTES_BUDGET:
             break
         best = th
@@ -200,7 +206,8 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
                          f"got {w.shape}")
     if pad not in ("kernel", "xla"):
         raise ValueError(f"pad must be 'kernel' or 'xla', got {pad!r}")
-    th = tile_h if tile_h is not None else _pick_tile_h(h, wdim, c_in)
+    th = (tile_h if tile_h is not None
+          else _pick_tile_h(h, wdim, c_in, jnp.dtype(x.dtype).itemsize))
     if th is None or h % th:
         raise ValueError(f"no valid row tile for H={h} (tile_h={tile_h})")
 
@@ -246,12 +253,15 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
 
 
 def _xla_conv3x3(x, w, bias):
+    """The XLA reference the kernel must match: flax nn.Conv's exact
+    lowering for a 3x3 stride-1 padding-1 NHWC conv. Also the Conv3x3
+    module's fallback and the custom_vjp backward, so the three stay one
+    definition."""
     out = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype)
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if bias is not None:
-        out = out + bias.astype(out.dtype)
+        out = out + bias.reshape((1,) * (out.ndim - 1) + (-1,)).astype(out.dtype)
     return out
 
 

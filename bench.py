@@ -32,6 +32,39 @@ import numpy as np
 V5E_PEAK_BF16_TFLOPS = 197.0
 
 
+def pallas_kernels_disabled():
+    """Context manager forcing every gated Pallas kernel OFF — the ONE list
+    of kernel gates, shared by bench.py and bench_extras.py.
+
+    XLA's cost analysis bills custom calls at zero FLOPs, so FLOP-counting
+    compiles must run the einsum/conv math XLA can see; any new kernel gate
+    added to ops/ must be added here or MFU silently undercounts.
+    """
+    import contextlib
+    import os
+
+    gates = {
+        "ADT_FLASH_MIN_TOKENS": str(1 << 30),  # flash attention: off
+        "ADT_IM2COL_CONV": "0",                # implicit-im2col conv: off
+        "ADT_FUSED_NORM": "0",                 # fused GroupNorm: off
+    }
+
+    @contextlib.contextmanager
+    def _ctx():
+        prev = {k: os.environ.get(k) for k in gates}
+        os.environ.update(gates)
+        try:
+            yield
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    return _ctx()
+
+
 def probe_backend_or_die(timeout_s: int = 240) -> None:
     """Fail fast (bounded) when the tunneled TPU backend is unreachable.
 
@@ -39,7 +72,10 @@ def probe_backend_or_die(timeout_s: int = 240) -> None:
     the backend in-process then hangs for ~25 min before erroring (observed
     in the round-3 outage), which would stall the driver's round-end bench
     run. A healthy init is ~10-30 s, so probe it in a killable subprocess
-    first and exit(2) with a clear message instead of hanging.
+    first and exit(2) with a clear message instead of hanging. The probe
+    also rejects jax's silent fall-back-to-CPU (a fast plugin error leaves
+    rc=0 with platform 'cpu'): a CPU run would publish hours-long garbage
+    normalized against the TPU peak.
     """
     import os
     import subprocess
@@ -47,18 +83,25 @@ def probe_backend_or_die(timeout_s: int = 240) -> None:
 
     if os.environ.get("ADT_SKIP_BACKEND_PROBE") == "1":
         return
+    timed_out = False
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
             capture_output=True, text=True, timeout=timeout_s)
-        ok = proc.returncode == 0
-        backend = proc.stdout.strip()
+        platform = proc.stdout.strip()
+        ok = proc.returncode == 0 and platform not in ("", "cpu")
+        err_tail = proc.stderr.strip().splitlines()[-3:]
     except subprocess.TimeoutExpired:
-        ok, backend = False, ""
+        timed_out, ok, err_tail = True, False, []
     if not ok:
-        print(f"bench: TPU backend unreachable (probe "
-              f"{'timed out' if not backend else 'failed'} after "
-              f"{timeout_s}s) — tunnel outage? retry later", file=sys.stderr)
+        why = (f"probe timed out after {timeout_s}s" if timed_out else
+               "probe fell back to the CPU backend" if platform == "cpu"
+               else f"probe failed rc={proc.returncode}")
+        detail = ("\n".join("  " + l for l in err_tail) if err_tail else "")
+        print(f"bench: TPU backend unreachable ({why}) — tunnel outage? "
+              f"retry later" + ("\n" + detail if detail else ""),
+              file=sys.stderr)
         raise SystemExit(2)
 CHUNK = 2          # candidates folded into the batch
 BATCH = 16         # images per candidate per batch
@@ -119,23 +162,10 @@ def main():
     # NB: wrap each variant in a distinct lambda — jit caches are keyed
     # on the wrapped callable, so two jax.jit(sample) calls would share
     # one trace and the env-var gate below would never re-apply.
-    import os
-    prev_gates = {k: os.environ.get(k)
-                  for k in ("ADT_FLASH_MIN_TOKENS", "ADT_IM2COL_CONV")}
-    os.environ["ADT_FLASH_MIN_TOKENS"] = str(1 << 30)
-    # the im2col conv is a Pallas custom call too: force the counting
-    # twin onto XLA's visible conv regardless of what the timed run uses
-    os.environ["ADT_IM2COL_CONV"] = "0"
     t0 = time.time()
-    try:
+    with pallas_kernels_disabled():
         counted = jax.jit(lambda *a: sample(*a)).lower(
             params, cparams, per_sample, jax.random.key(0)).compile()
-    finally:
-        for k, prev in prev_gates.items():
-            if prev is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = prev
     t_count = time.time() - t0
     f = jax.jit(lambda *a: sample(*a))
     t0 = time.time()

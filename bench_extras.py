@@ -48,20 +48,12 @@ def _count_flops(fn, args, scan_len: int = 1) -> float:
     XLA bills Pallas custom calls at zero, so the count must come from a
     flash-disabled twin; the TIMED program keeps the flash kernels). A
     scan body is counted once by cost_analysis — scale by scan_len."""
-    prev = {k: os.environ.get(k)
-            for k in ("ADT_FLASH_MIN_TOKENS", "ADT_IM2COL_CONV")}
-    os.environ["ADT_FLASH_MIN_TOKENS"] = str(1 << 30)
-    os.environ["ADT_IM2COL_CONV"] = "0"   # Pallas conv is zero-billed too
-    try:
+    from bench import pallas_kernels_disabled
+
+    with pallas_kernels_disabled():
         # distinct lambda: jit trace caches are keyed on the callable, so
         # reusing the timed function object would skip the env gate
         counted = jax.jit(lambda *a: fn(*a)).lower(*args).compile()
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
     return counted.cost_analysis().get("flops", 0.0) * scan_len
 
 

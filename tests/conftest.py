@@ -24,6 +24,24 @@ import pytest  # noqa: E402
 REFERENCE_GD = "/root/reference/examples/guided_diffusion"
 
 
+@pytest.fixture(autouse=True)
+def _fresh_logger():
+    """Reset the process-global logger around every test.
+
+    Logger.CURRENT's HumanOutput binds whatever sys.stdout was when the
+    logger was first created. Under pytest that is some test's capsys
+    stream, which pytest CLOSES at that test's teardown — every later
+    logger.log() in the process then raises 'I/O operation on closed
+    file' (14 slow-tier tests failed this way under full-suite ordering),
+    or silently writes to another test's capture. A fresh logger per test
+    rebinds to the current stream."""
+    from autodiffusion_tpu.utils import logger
+
+    logger.Logger.CURRENT = None
+    yield
+    logger.Logger.CURRENT = None
+
+
 @pytest.fixture(scope="session")
 def reference_gd():
     """Import the reference guided_diffusion package for golden-value parity

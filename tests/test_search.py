@@ -384,13 +384,6 @@ class TestReviewRegressions:
         import argparse
 
         from autodiffusion_tpu.cli.main import _maybe_resume_ea
-        from autodiffusion_tpu.utils import logger as _logger
-
-        # Logger.CURRENT is a process global whose HumanOutput binds
-        # sys.stdout at creation: a logger created by an EARLIER test holds
-        # that test's (capsys) stream, so this test's capsys would capture
-        # nothing. Rebind to this test's stdout.
-        _logger.Logger.CURRENT = None
 
         calls = {"n": 0}
 
