@@ -71,17 +71,35 @@ def resolve_use_im2col(use: object, h: int, w: int, c_in: int,
         # XLA's direct conv is the right tool there
         return False
     itemsize = jnp.dtype(dtype).itemsize
-    if 9 * c_in * c_out * itemsize > _WMAT_BYTES_BUDGET:
-        # the whole [9*C_in, C_out] weight matrix lives in VMEM alongside
-        # the patch tile; SD's deepest level (1280->1280 = 29.5 MB bf16)
-        # cannot fit. Splitting C_out over the grid is a possible future
-        # refinement; until then XLA handles these.
+    if _pick_co_block(c_out, c_in, itemsize, min_block=64) is None:
+        # no C_out split keeps a useful [9*C_in, co_block] weight block
+        # within the VMEM budget (would need co_block < 64 lanes)
         return False
     if _pick_tile_h(h, w, c_in, itemsize) is None:
         return False
     if use == "auto":
         return os.environ.get("ADT_IM2COL_CONV", "0") == "1"
     return bool(use)
+
+
+def _pick_co_block(c_out: int, c_in: int, itemsize: int = 2,
+                   min_block: int = 1) -> "Optional[int]":
+    """Largest divisor of C_out whose [9*C_in, co_block] weight block fits
+    the VMEM budget (the block is double-buffered across the C_out grid
+    dim, hence the headroom in _WMAT_BYTES_BUDGET). SD's deepest level
+    (1280->1280 bf16) splits to co_block=256; ADM shapes keep one block.
+    min_block is the gate's efficiency floor (128-lane MXU tiles); the
+    kernel itself is correct for any divisor."""
+    best = None
+    for co in range(1, c_out + 1):
+        if c_out % co:
+            continue
+        if 9 * c_in * co * itemsize > _WMAT_BYTES_BUDGET:
+            break
+        best = co
+    if best is not None and best < min_block:
+        return None
+    return best
 
 
 def _pick_tile_h(h: int, w: int, c_in: int,
@@ -104,8 +122,7 @@ def _pick_tile_h(h: int, w: int, c_in: int,
     return best
 
 
-def _im2col_dot(wmat_ref, bias_ref, out_ref, xtile, patches, *,
-                tile_h: int, wdim: int, c_in: int, has_bias: bool):
+def _build_patches(xtile, patches, *, tile_h: int, wdim: int, c_in: int):
     # Implicit im2col: 9 shifted [tile_h, W, C] windows of the halo tile
     # laid side by side along the contraction dim. Column block dh*3+dw must
     # match the HWIO weight reshape (rows (dh*3+dw)*C_in + ci).
@@ -115,6 +132,9 @@ def _im2col_dot(wmat_ref, bias_ref, out_ref, xtile, patches, *,
             patches[:, :, j * c_in:(j + 1) * c_in] = (
                 xtile[dh:dh + tile_h, dw:dw + wdim, :])
 
+
+def _im2col_dot(wmat_ref, bias_ref, out_ref, patches, *,
+                tile_h: int, wdim: int, c_in: int, has_bias: bool):
     p = patches[...].reshape(tile_h * wdim, 9 * c_in)
     acc = jnp.dot(p, wmat_ref[...], preferred_element_type=jnp.float32)
     if has_bias:
@@ -124,15 +144,23 @@ def _im2col_dot(wmat_ref, bias_ref, out_ref, xtile, patches, *,
 
 def _conv_kernel(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches, sem, *,
                  tile_h: int, wdim: int, c_in: int, has_bias: bool):
-    """pad="xla" variant: x_hbm is pre-padded [B, H+2, W+2, C]."""
+    """pad="xla" variant: x_hbm is pre-padded [B, H+2, W+2, C].
+
+    Grid is (B, H/tile_h, C_out/co_block), C_out innermost: the halo DMA
+    and patch build run once per row tile (co == 0) and the patch matrix
+    persists in scratch across the C_out blocks."""
     bi = pl.program_id(0)
     ti = pl.program_id(1)
 
-    cp = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(ti * tile_h, tile_h + 2)], xtile, sem)
-    cp.start()
-    cp.wait()
-    _im2col_dot(wmat_ref, bias_ref, out_ref, xtile, patches,
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(ti * tile_h, tile_h + 2)], xtile, sem)
+        cp.start()
+        cp.wait()
+        _build_patches(xtile, patches, tile_h=tile_h, wdim=wdim, c_in=c_in)
+
+    _im2col_dot(wmat_ref, bias_ref, out_ref, patches,
                 tile_h=tile_h, wdim=wdim, c_in=c_in, has_bias=has_bias)
 
 
@@ -149,48 +177,54 @@ def _conv_kernel_padfree(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches,
     n_t = pl.num_programs(1)
     r0 = ti * tile_h
 
-    # W halo columns are always zero; they are never DMA-targeted, so this
-    # write has no ordering hazard with the copies below.
-    xtile[:, 0, :] = jnp.zeros((tile_h + 2, c_in), xtile.dtype)
-    xtile[:, wdim + 1, :] = jnp.zeros((tile_h + 2, c_in), xtile.dtype)
-
-    interior = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(r0, tile_h)],
-        xtile.at[pl.ds(1, tile_h), pl.ds(1, wdim)], sems.at[0])
-    interior.start()
-
-    @pl.when(ti == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _():
-        xtile[0, 1:wdim + 1, :] = jnp.zeros((wdim, c_in), xtile.dtype)
+        # W halo columns are always zero; they are never DMA-targeted, so
+        # this write has no ordering hazard with the copies below.
+        xtile[:, 0, :] = jnp.zeros((tile_h + 2, c_in), xtile.dtype)
+        xtile[:, wdim + 1, :] = jnp.zeros((tile_h + 2, c_in), xtile.dtype)
 
-    @pl.when(ti > 0)
-    def _():
-        top = pltpu.make_async_copy(
-            x_hbm.at[bi, r0 - 1], xtile.at[0, pl.ds(1, wdim)], sems.at[1])
-        top.start()
-        top.wait()
+        interior = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(r0, tile_h)],
+            xtile.at[pl.ds(1, tile_h), pl.ds(1, wdim)], sems.at[0])
+        interior.start()
 
-    @pl.when(ti == n_t - 1)
-    def _():
-        xtile[tile_h + 1, 1:wdim + 1, :] = jnp.zeros((wdim, c_in),
-                                                     xtile.dtype)
+        @pl.when(ti == 0)
+        def _():
+            xtile[0, 1:wdim + 1, :] = jnp.zeros((wdim, c_in), xtile.dtype)
 
-    @pl.when(ti < n_t - 1)
-    def _():
-        bot = pltpu.make_async_copy(
-            x_hbm.at[bi, r0 + tile_h],
-            xtile.at[tile_h + 1, pl.ds(1, wdim)], sems.at[2])
-        bot.start()
-        bot.wait()
+        @pl.when(ti > 0)
+        def _():
+            top = pltpu.make_async_copy(
+                x_hbm.at[bi, r0 - 1], xtile.at[0, pl.ds(1, wdim)],
+                sems.at[1])
+            top.start()
+            top.wait()
 
-    interior.wait()
-    _im2col_dot(wmat_ref, bias_ref, out_ref, xtile, patches,
+        @pl.when(ti == n_t - 1)
+        def _():
+            xtile[tile_h + 1, 1:wdim + 1, :] = jnp.zeros((wdim, c_in),
+                                                         xtile.dtype)
+
+        @pl.when(ti < n_t - 1)
+        def _():
+            bot = pltpu.make_async_copy(
+                x_hbm.at[bi, r0 + tile_h],
+                xtile.at[tile_h + 1, pl.ds(1, wdim)], sems.at[2])
+            bot.start()
+            bot.wait()
+
+        interior.wait()
+        _build_patches(xtile, patches, tile_h=tile_h, wdim=wdim, c_in=c_in)
+
+    _im2col_dot(wmat_ref, bias_ref, out_ref, patches,
                 tile_h=tile_h, wdim=wdim, c_in=c_in, has_bias=has_bias)
 
 
 def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
                    bias: Optional[jnp.ndarray] = None, *,
                    tile_h: Optional[int] = None,
+                   co_block: Optional[int] = None,
                    pad: str = "kernel",
                    interpret: bool = False) -> jnp.ndarray:
     """3x3 stride-1 SAME conv, NHWC x HWIO -> NHWC (forward only).
@@ -198,6 +232,9 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
     x: [B, H, W, C_in]; w: [3, 3, C_in, C_out]; bias: [C_out] or None.
     pad: "kernel" assembles the zero halo in VMEM (no extra HBM pass);
     "xla" pre-pads with jnp.pad (kept for the A/B probe).
+    co_block: C_out is split over the innermost grid dim in blocks of this
+    size (default: largest divisor within the VMEM weight budget); the
+    patch matrix is built once per row tile and reused across blocks.
     """
     b, h, wdim, c_in = x.shape
     kh, kw, wc_in, c_out = w.shape
@@ -206,10 +243,16 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
                          f"got {w.shape}")
     if pad not in ("kernel", "xla"):
         raise ValueError(f"pad must be 'kernel' or 'xla', got {pad!r}")
+    itemsize = jnp.dtype(x.dtype).itemsize
     th = (tile_h if tile_h is not None
-          else _pick_tile_h(h, wdim, c_in, jnp.dtype(x.dtype).itemsize))
+          else _pick_tile_h(h, wdim, c_in, itemsize))
     if th is None or h % th:
         raise ValueError(f"no valid row tile for H={h} (tile_h={tile_h})")
+    co = (co_block if co_block is not None
+          else _pick_co_block(c_out, c_in, itemsize))
+    if co is None or c_out % co:
+        raise ValueError(f"no valid C_out block for C_out={c_out} "
+                         f"(co_block={co_block})")
 
     wmat = w.reshape(9 * c_in, c_out)
     has_bias = bias is not None
@@ -227,19 +270,19 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
                                    wdim=wdim, c_in=c_in, has_bias=has_bias)
         sems = pltpu.SemaphoreType.DMA((3,))
 
-    grid = (b, h // th)
+    grid = (b, h // th, c_out // co)
     flat = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),         # input stays in HBM
-            pl.BlockSpec((9 * c_in, c_out), lambda bi, ti: (0, 0),
+            pl.BlockSpec((9 * c_in, co), lambda bi, ti, ci: (0, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_out), lambda bi, ti: (0, 0),
+            pl.BlockSpec((1, co), lambda bi, ti, ci: (0, ci),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, th * wdim, c_out),
-                               lambda bi, ti: (bi, ti, 0),
+        out_specs=pl.BlockSpec((1, th * wdim, co),
+                               lambda bi, ti, ci: (bi, ti, ci),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * wdim, c_out), x.dtype),
         scratch_shapes=[

@@ -111,6 +111,34 @@ def test_tile_picker_and_gate():
     assert resolve_use_im2col("auto", 64, 64, 192, 192) is False
 
 
+@pytest.mark.parametrize("pad", ["kernel", "xla"])
+def test_cout_grid_split(pad):
+    # C_out split over the innermost grid dim: patches built at co==0 must
+    # persist across the later C_out blocks of the same row tile.
+    ks = jax.random.split(jax.random.PRNGKey(11), 2)
+    x = jax.random.normal(ks[0], (2, 8, 8, 16), jnp.float32)
+    wk = jax.random.normal(ks[1], (3, 3, 16, 24), jnp.float32) * 0.1
+    got = conv3x3_im2col(x, wk, tile_h=4, co_block=8, pad=pad,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_xla(x, wk)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_co_block_picker():
+    from autodiffusion_tpu.ops.conv_im2col import _pick_co_block
+
+    # SD deepest level bf16: [9*1280, co] budgeted -> 256-wide blocks
+    assert _pick_co_block(1280, 1280, 2) == 256
+    # ADM largest: whole 576 fits in one block
+    assert _pick_co_block(576, 576, 2) == 576
+    # f32 halves the feasible block
+    assert _pick_co_block(1280, 1280, 4) == 128
+    # the gate's efficiency floor: no >=64 divisor fits (absurd c_in)
+    assert _pick_co_block(64, 40000, 2, min_block=64) is None
+    # the kernel-correctness picker has no floor
+    assert _pick_co_block(64, 40000, 2) == 8
+
+
 def test_conv3x3_module_matches_nn_conv():
     # Same init RNG -> identical params (tree paths match nn.Conv), and the
     # fallback forward is bit-identical to flax nn.Conv's lowering.
@@ -158,14 +186,15 @@ def test_gate_shape_bounds(monkeypatch):
     import autodiffusion_tpu.ops.conv_im2col as ci
 
     monkeypatch.setattr(ci.jax, "default_backend", lambda: "tpu")
-    # SD deepest level: [9*1280, 1280] weights (29.5 MB bf16) exceed VMEM
-    assert ci.resolve_use_im2col(True, 8, 8, 1280, 1280) is False
     # tiny channel dims idle the MXU
     assert ci.resolve_use_im2col(True, 64, 64, 3, 192) is False
     assert ci.resolve_use_im2col(True, 64, 64, 192, 6) is False
-    # ADM/SD hot shapes pass when forced...
+    # no C_out block within the weight VMEM budget (absurd c_in)
+    assert ci.resolve_use_im2col(True, 8, 8, 40000, 64) is False
+    # ADM/SD hot shapes pass when forced, incl. the co-split deep level
     assert ci.resolve_use_im2col(True, 64, 64, 192, 192) is True
     assert ci.resolve_use_im2col(True, 64, 64, 320, 320) is True
+    assert ci.resolve_use_im2col(True, 8, 8, 1280, 1280) is True
     # ...and "auto" follows the env gate
     monkeypatch.delenv("ADT_IM2COL_CONV", raising=False)
     assert ci.resolve_use_im2col("auto", 64, 64, 192, 192) is False
