@@ -134,16 +134,31 @@ def _build_patches(xtile, patches, *, tile_h: int, wdim: int, c_in: int):
 
 
 def _im2col_dot(wmat_ref, bias_ref, out_ref, patches, *,
-                tile_h: int, wdim: int, c_in: int, has_bias: bool):
-    p = patches[...].reshape(tile_h * wdim, 9 * c_in)
-    acc = jnp.dot(p, wmat_ref[...], preferred_element_type=jnp.float32)
+                tile_h: int, wdim: int, c_in: int, has_bias: bool,
+                split_k: bool = False):
+    m = tile_h * wdim
+    if split_k:
+        # one K=3*C_in dot per kernel row, accumulated in f32: dot(dh)
+        # depends only on that dh's patch columns, so Mosaic may overlap
+        # the next row's VPU copies with the current MXU dot (the fused
+        # all-K dot below serializes build -> dot). Probe decides.
+        acc = jnp.zeros((m, out_ref.shape[-1]), jnp.float32)
+        for dh in range(3):
+            pk = patches[:, :, dh * 3 * c_in:(dh + 1) * 3 * c_in]
+            acc = acc + jnp.dot(pk.reshape(m, 3 * c_in),
+                                wmat_ref[dh * 3 * c_in:(dh + 1) * 3 * c_in],
+                                preferred_element_type=jnp.float32)
+    else:
+        p = patches[...].reshape(m, 9 * c_in)
+        acc = jnp.dot(p, wmat_ref[...], preferred_element_type=jnp.float32)
     if has_bias:
         acc = acc + bias_ref[...].astype(jnp.float32)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _conv_kernel(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches, sem, *,
-                 tile_h: int, wdim: int, c_in: int, has_bias: bool):
+                 tile_h: int, wdim: int, c_in: int, has_bias: bool,
+                 split_k: bool = False):
     """pad="xla" variant: x_hbm is pre-padded [B, H+2, W+2, C].
 
     Grid is (B, H/tile_h, C_out/co_block), C_out innermost: the halo DMA
@@ -161,12 +176,13 @@ def _conv_kernel(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches, sem, *,
         _build_patches(xtile, patches, tile_h=tile_h, wdim=wdim, c_in=c_in)
 
     _im2col_dot(wmat_ref, bias_ref, out_ref, patches,
-                tile_h=tile_h, wdim=wdim, c_in=c_in, has_bias=has_bias)
+                tile_h=tile_h, wdim=wdim, c_in=c_in, has_bias=has_bias,
+                split_k=split_k)
 
 
 def _conv_kernel_padfree(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches,
                          sems, *, tile_h: int, wdim: int, c_in: int,
-                         has_bias: bool):
+                         has_bias: bool, split_k: bool = False):
     """pad="kernel" variant: x_hbm is the UNPADDED [B, H, W, C] input; the
     1-pixel zero halo is assembled in VMEM (zeroed columns + conditional
     edge rows), so the input never takes the XLA pad's extra HBM round
@@ -218,7 +234,8 @@ def _conv_kernel_padfree(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches,
         _build_patches(xtile, patches, tile_h=tile_h, wdim=wdim, c_in=c_in)
 
     _im2col_dot(wmat_ref, bias_ref, out_ref, patches,
-                tile_h=tile_h, wdim=wdim, c_in=c_in, has_bias=has_bias)
+                tile_h=tile_h, wdim=wdim, c_in=c_in, has_bias=has_bias,
+                split_k=split_k)
 
 
 def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
@@ -226,6 +243,7 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
                    tile_h: Optional[int] = None,
                    co_block: Optional[int] = None,
                    pad: str = "kernel",
+                   split_k: bool = False,
                    interpret: bool = False) -> jnp.ndarray:
     """3x3 stride-1 SAME conv, NHWC x HWIO -> NHWC (forward only).
 
@@ -262,12 +280,14 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
     if pad == "xla":
         x_in = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         kernel = functools.partial(_conv_kernel, tile_h=th, wdim=wdim,
-                                   c_in=c_in, has_bias=has_bias)
+                                   c_in=c_in, has_bias=has_bias,
+                                   split_k=split_k)
         sems = pltpu.SemaphoreType.DMA(())
     else:
         x_in = x
         kernel = functools.partial(_conv_kernel_padfree, tile_h=th,
-                                   wdim=wdim, c_in=c_in, has_bias=has_bias)
+                                   wdim=wdim, c_in=c_in, has_bias=has_bias,
+                                   split_k=split_k)
         sems = pltpu.SemaphoreType.DMA((3,))
 
     grid = (b, h // th, c_out // co)

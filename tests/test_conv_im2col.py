@@ -124,6 +124,18 @@ def test_cout_grid_split(pad):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("pad", ["kernel", "xla"])
+def test_split_k_variant(pad):
+    ks = jax.random.split(jax.random.PRNGKey(12), 3)
+    x = jax.random.normal(ks[0], (2, 8, 8, 16), jnp.float32)
+    wk = jax.random.normal(ks[1], (3, 3, 16, 24), jnp.float32) * 0.1
+    bk = jax.random.normal(ks[2], (24,), jnp.float32)
+    got = conv3x3_im2col(x, wk, bk, tile_h=4, pad=pad, split_k=True,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_xla(x, wk, bk)),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_co_block_picker():
     from autodiffusion_tpu.ops.conv_im2col import _pick_co_block
 
