@@ -238,12 +238,107 @@ def _conv_kernel_padfree(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches,
                 split_k=split_k)
 
 
+def _conv_kernel_padfree_prefetch(x_hbm, wmat_ref, bias_ref, out_ref,
+                                  xtile2, patches, sems2, *, tile_h: int,
+                                  wdim: int, c_in: int, has_bias: bool,
+                                  split_k: bool = False):
+    """pad="kernel" + cross-tile prefetch: the NEXT row tile's halo DMA is
+    started before this tile's patch build + dots, hiding the DMA latency
+    the plain padfree kernel serializes. xtile2 is 2-slot ([2, th+2, W+2,
+    C], slot = tile index % 2); sems2 is [2, 3]. patches needs one slot —
+    tile t+1's build happens strictly after tile t's last C_out block
+    (the TPU grid is sequential)."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    n_tiles = pl.num_programs(0) * n_t
+    tile_idx = bi * n_t + ti
+
+    def issue(t):
+        # zero-fill + start the halo DMAs for linear tile t into slot t%2.
+        slot = t % 2
+        bi_ = t // n_t
+        ti_ = t % n_t
+        r0_ = ti_ * tile_h
+        xt = xtile2.at[slot]
+        xt[:, 0, :] = jnp.zeros((tile_h + 2, c_in), xtile2.dtype)
+        xt[:, wdim + 1, :] = jnp.zeros((tile_h + 2, c_in), xtile2.dtype)
+        pltpu.make_async_copy(
+            x_hbm.at[bi_, pl.ds(r0_, tile_h)],
+            xt.at[pl.ds(1, tile_h), pl.ds(1, wdim)], sems2.at[slot, 0]
+        ).start()
+
+        @pl.when(ti_ == 0)
+        def _():
+            xt[0, 1:wdim + 1, :] = jnp.zeros((wdim, c_in), xtile2.dtype)
+
+        @pl.when(ti_ > 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[bi_, r0_ - 1], xt.at[0, pl.ds(1, wdim)],
+                sems2.at[slot, 1]).start()
+
+        @pl.when(ti_ == n_t - 1)
+        def _():
+            xt[tile_h + 1, 1:wdim + 1, :] = jnp.zeros((wdim, c_in),
+                                                      xtile2.dtype)
+
+        @pl.when(ti_ < n_t - 1)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[bi_, r0_ + tile_h],
+                xt.at[tile_h + 1, pl.ds(1, wdim)], sems2.at[slot, 2]).start()
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        slot = tile_idx % 2
+
+        @pl.when(tile_idx == 0)
+        def _():
+            issue(0)  # warmup: no earlier step issued tile 0
+
+        # wait for THIS tile's DMAs (issued at the previous tile, or the
+        # warmup above); the conditional halo waits mirror the issue-side
+        # conditions exactly (same ti)
+        pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(ti * tile_h, tile_h)],
+            xtile2.at[slot].at[pl.ds(1, tile_h), pl.ds(1, wdim)],
+            sems2.at[slot, 0]).wait()
+
+        @pl.when(ti > 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[bi, ti * tile_h - 1],
+                xtile2.at[slot].at[0, pl.ds(1, wdim)],
+                sems2.at[slot, 1]).wait()
+
+        @pl.when(ti < n_t - 1)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[bi, ti * tile_h + tile_h],
+                xtile2.at[slot].at[tile_h + 1, pl.ds(1, wdim)],
+                sems2.at[slot, 2]).wait()
+
+        # prefetch the next tile while this tile builds + dots
+        @pl.when(tile_idx + 1 < n_tiles)
+        def _():
+            issue(tile_idx + 1)
+
+        _build_patches(xtile2.at[slot], patches, tile_h=tile_h, wdim=wdim,
+                       c_in=c_in)
+
+    _im2col_dot(wmat_ref, bias_ref, out_ref, patches,
+                tile_h=tile_h, wdim=wdim, c_in=c_in, has_bias=has_bias,
+                split_k=split_k)
+
+
 def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
                    bias: Optional[jnp.ndarray] = None, *,
                    tile_h: Optional[int] = None,
                    co_block: Optional[int] = None,
                    pad: str = "kernel",
                    split_k: bool = False,
+                   prefetch: bool = False,
                    interpret: bool = False) -> jnp.ndarray:
     """3x3 stride-1 SAME conv, NHWC x HWIO -> NHWC (forward only).
 
@@ -283,6 +378,12 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
                                    c_in=c_in, has_bias=has_bias,
                                    split_k=split_k)
         sems = pltpu.SemaphoreType.DMA(())
+    elif prefetch:
+        x_in = x
+        kernel = functools.partial(_conv_kernel_padfree_prefetch, tile_h=th,
+                                   wdim=wdim, c_in=c_in, has_bias=has_bias,
+                                   split_k=split_k)
+        sems = pltpu.SemaphoreType.DMA((2, 3))
     else:
         x_in = x
         kernel = functools.partial(_conv_kernel_padfree, tile_h=th,
@@ -290,6 +391,9 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
                                    split_k=split_k)
         sems = pltpu.SemaphoreType.DMA((3,))
 
+    xtile_shape = ((2, th + 2, wdim + 2, c_in) if (pad == "kernel" and
+                                                   prefetch)
+                   else (th + 2, wdim + 2, c_in))
     grid = (b, h // th, c_out // co)
     flat = pl.pallas_call(
         kernel,
@@ -306,7 +410,7 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * wdim, c_out), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, wdim + 2, c_in), x.dtype),
+            pltpu.VMEM(xtile_shape, x.dtype),
             pltpu.VMEM((th, wdim, 9 * c_in), x.dtype),
             sems,
         ],

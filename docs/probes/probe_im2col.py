@@ -91,6 +91,10 @@ def run_shape(name):
                 lambda x_, w__, th=th: chain(
                     functools.partial(conv3x3_im2col, tile_h=th,
                                       split_k=True), x_, w__))
+            variants[f"im2col_th{th}_prefetch"] = (
+                lambda x_, w__, th=th: chain(
+                    functools.partial(conv3x3_im2col, tile_h=th,
+                                      prefetch=True), x_, w__))
 
     print(f"== {name} B={b} {h}x{w_} {cin}->{cout}  "
           f"ctrl={t_ctrl*1e3/N_CHAIN:.3f} ms/iter")

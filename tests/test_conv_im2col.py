@@ -136,6 +136,21 @@ def test_split_k_variant(pad):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("co_block", [None, 8])
+def test_prefetch_variant(co_block):
+    # Cross-tile DMA prefetch: slot parity must track the LINEAR tile index
+    # across batch boundaries (B=3, odd tile count per image), and the
+    # prefetched tile's conditional halo handling must match its own ti.
+    ks = jax.random.split(jax.random.PRNGKey(13), 3)
+    x = jax.random.normal(ks[0], (3, 6, 8, 16), jnp.float32)
+    wk = jax.random.normal(ks[1], (3, 3, 16, 16), jnp.float32) * 0.1
+    bk = jax.random.normal(ks[2], (16,), jnp.float32)
+    got = conv3x3_im2col(x, wk, bk, tile_h=2, co_block=co_block,
+                         prefetch=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_xla(x, wk, bk)),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_co_block_picker():
     from autodiffusion_tpu.ops.conv_im2col import _pick_co_block
 
