@@ -180,6 +180,70 @@ def _conv_kernel(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches, sem, *,
                 split_k=split_k)
 
 
+def _issue_halo(x_hbm, xt, sems_row, bi_, ti_, n_t, *, tile_h: int,
+                wdim: int, c_in: int, zero_cols):
+    """Zero-fill + start the halo DMAs for tile (bi_, ti_) into xtile view
+    ``xt`` tracked by ``sems_row`` ([3] DMA semaphores: interior/top/
+    bottom). The ONE definition of the in-kernel halo assembly, shared by
+    the plain and prefetch padfree kernels.
+
+    zero_cols: the W-halo columns are never DMA-targeted, so they persist
+    across tiles — pass True only on a buffer's first use. Edge ROWS must
+    be re-zeroed per edge tile (interior tiles DMA into the same rows)."""
+    r0_ = ti_ * tile_h
+
+    @pl.when(zero_cols)
+    def _():
+        xt[:, 0, :] = jnp.zeros((tile_h + 2, c_in), xt.dtype)
+        xt[:, wdim + 1, :] = jnp.zeros((tile_h + 2, c_in), xt.dtype)
+
+    pltpu.make_async_copy(
+        x_hbm.at[bi_, pl.ds(r0_, tile_h)],
+        xt.at[pl.ds(1, tile_h), pl.ds(1, wdim)], sems_row.at[0]).start()
+
+    @pl.when(ti_ == 0)
+    def _():
+        xt[0, 1:wdim + 1, :] = jnp.zeros((wdim, c_in), xt.dtype)
+
+    @pl.when(ti_ > 0)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[bi_, r0_ - 1], xt.at[0, pl.ds(1, wdim)],
+            sems_row.at[1]).start()
+
+    @pl.when(ti_ == n_t - 1)
+    def _():
+        xt[tile_h + 1, 1:wdim + 1, :] = jnp.zeros((wdim, c_in), xt.dtype)
+
+    @pl.when(ti_ < n_t - 1)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[bi_, r0_ + tile_h],
+            xt.at[tile_h + 1, pl.ds(1, wdim)], sems_row.at[2]).start()
+
+
+def _wait_halo(x_hbm, xt, sems_row, bi_, ti_, n_t, *, tile_h: int,
+               wdim: int):
+    """Wait for _issue_halo's DMAs — the conditions mirror the issue side
+    exactly (same ti_), so exactly the started copies are awaited."""
+    r0_ = ti_ * tile_h
+    pltpu.make_async_copy(
+        x_hbm.at[bi_, pl.ds(r0_, tile_h)],
+        xt.at[pl.ds(1, tile_h), pl.ds(1, wdim)], sems_row.at[0]).wait()
+
+    @pl.when(ti_ > 0)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[bi_, r0_ - 1], xt.at[0, pl.ds(1, wdim)],
+            sems_row.at[1]).wait()
+
+    @pl.when(ti_ < n_t - 1)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[bi_, r0_ + tile_h],
+            xt.at[tile_h + 1, pl.ds(1, wdim)], sems_row.at[2]).wait()
+
+
 def _conv_kernel_padfree(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches,
                          sems, *, tile_h: int, wdim: int, c_in: int,
                          has_bias: bool, split_k: bool = False):
@@ -191,46 +255,14 @@ def _conv_kernel_padfree(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches,
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     n_t = pl.num_programs(1)
-    r0 = ti * tile_h
 
     @pl.when(pl.program_id(2) == 0)
     def _():
-        # W halo columns are always zero; they are never DMA-targeted, so
-        # this write has no ordering hazard with the copies below.
-        xtile[:, 0, :] = jnp.zeros((tile_h + 2, c_in), xtile.dtype)
-        xtile[:, wdim + 1, :] = jnp.zeros((tile_h + 2, c_in), xtile.dtype)
-
-        interior = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(r0, tile_h)],
-            xtile.at[pl.ds(1, tile_h), pl.ds(1, wdim)], sems.at[0])
-        interior.start()
-
-        @pl.when(ti == 0)
-        def _():
-            xtile[0, 1:wdim + 1, :] = jnp.zeros((wdim, c_in), xtile.dtype)
-
-        @pl.when(ti > 0)
-        def _():
-            top = pltpu.make_async_copy(
-                x_hbm.at[bi, r0 - 1], xtile.at[0, pl.ds(1, wdim)],
-                sems.at[1])
-            top.start()
-            top.wait()
-
-        @pl.when(ti == n_t - 1)
-        def _():
-            xtile[tile_h + 1, 1:wdim + 1, :] = jnp.zeros((wdim, c_in),
-                                                         xtile.dtype)
-
-        @pl.when(ti < n_t - 1)
-        def _():
-            bot = pltpu.make_async_copy(
-                x_hbm.at[bi, r0 + tile_h],
-                xtile.at[tile_h + 1, pl.ds(1, wdim)], sems.at[2])
-            bot.start()
-            bot.wait()
-
-        interior.wait()
+        _issue_halo(x_hbm, xtile, sems, bi, ti, n_t, tile_h=tile_h,
+                    wdim=wdim, c_in=c_in,
+                    zero_cols=(bi * n_t + ti) == 0)
+        _wait_halo(x_hbm, xtile, sems, bi, ti, n_t, tile_h=tile_h,
+                   wdim=wdim)
         _build_patches(xtile, patches, tile_h=tile_h, wdim=wdim, c_in=c_in)
 
     _im2col_dot(wmat_ref, bias_ref, out_ref, patches,
@@ -245,9 +277,10 @@ def _conv_kernel_padfree_prefetch(x_hbm, wmat_ref, bias_ref, out_ref,
     """pad="kernel" + cross-tile prefetch: the NEXT row tile's halo DMA is
     started before this tile's patch build + dots, hiding the DMA latency
     the plain padfree kernel serializes. xtile2 is 2-slot ([2, th+2, W+2,
-    C], slot = tile index % 2); sems2 is [2, 3]. patches needs one slot —
-    tile t+1's build happens strictly after tile t's last C_out block
-    (the TPU grid is sequential)."""
+    C], slot = linear tile index % 2, correct across batch boundaries);
+    sems2 is [2, 3]. patches needs one slot — tile t+1's build happens
+    strictly after tile t's last C_out block (the TPU grid is
+    sequential)."""
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -255,39 +288,9 @@ def _conv_kernel_padfree_prefetch(x_hbm, wmat_ref, bias_ref, out_ref,
     tile_idx = bi * n_t + ti
 
     def issue(t):
-        # zero-fill + start the halo DMAs for linear tile t into slot t%2.
-        slot = t % 2
-        bi_ = t // n_t
-        ti_ = t % n_t
-        r0_ = ti_ * tile_h
-        xt = xtile2.at[slot]
-        xt[:, 0, :] = jnp.zeros((tile_h + 2, c_in), xtile2.dtype)
-        xt[:, wdim + 1, :] = jnp.zeros((tile_h + 2, c_in), xtile2.dtype)
-        pltpu.make_async_copy(
-            x_hbm.at[bi_, pl.ds(r0_, tile_h)],
-            xt.at[pl.ds(1, tile_h), pl.ds(1, wdim)], sems2.at[slot, 0]
-        ).start()
-
-        @pl.when(ti_ == 0)
-        def _():
-            xt[0, 1:wdim + 1, :] = jnp.zeros((wdim, c_in), xtile2.dtype)
-
-        @pl.when(ti_ > 0)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[bi_, r0_ - 1], xt.at[0, pl.ds(1, wdim)],
-                sems2.at[slot, 1]).start()
-
-        @pl.when(ti_ == n_t - 1)
-        def _():
-            xt[tile_h + 1, 1:wdim + 1, :] = jnp.zeros((wdim, c_in),
-                                                      xtile2.dtype)
-
-        @pl.when(ti_ < n_t - 1)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[bi_, r0_ + tile_h],
-                xt.at[tile_h + 1, pl.ds(1, wdim)], sems2.at[slot, 2]).start()
+        _issue_halo(x_hbm, xtile2.at[t % 2], sems2.at[t % 2],
+                    t // n_t, t % n_t, n_t, tile_h=tile_h, wdim=wdim,
+                    c_in=c_in, zero_cols=t < 2)
 
     @pl.when(pl.program_id(2) == 0)
     def _():
@@ -297,27 +300,8 @@ def _conv_kernel_padfree_prefetch(x_hbm, wmat_ref, bias_ref, out_ref,
         def _():
             issue(0)  # warmup: no earlier step issued tile 0
 
-        # wait for THIS tile's DMAs (issued at the previous tile, or the
-        # warmup above); the conditional halo waits mirror the issue-side
-        # conditions exactly (same ti)
-        pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(ti * tile_h, tile_h)],
-            xtile2.at[slot].at[pl.ds(1, tile_h), pl.ds(1, wdim)],
-            sems2.at[slot, 0]).wait()
-
-        @pl.when(ti > 0)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[bi, ti * tile_h - 1],
-                xtile2.at[slot].at[0, pl.ds(1, wdim)],
-                sems2.at[slot, 1]).wait()
-
-        @pl.when(ti < n_t - 1)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[bi, ti * tile_h + tile_h],
-                xtile2.at[slot].at[tile_h + 1, pl.ds(1, wdim)],
-                sems2.at[slot, 2]).wait()
+        _wait_halo(x_hbm, xtile2.at[slot], sems2.at[slot], bi, ti, n_t,
+                   tile_h=tile_h, wdim=wdim)
 
         # prefetch the next tile while this tile builds + dots
         @pl.when(tile_idx + 1 < n_tiles)
@@ -372,28 +356,33 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
     bias2d = (bias.reshape(1, c_out) if has_bias
               else jnp.zeros((1, c_out), w.dtype))
 
+    # one decision per branch: kernel fn + input + sems + halo-tile shape
     if pad == "xla":
+        if prefetch:
+            raise ValueError("prefetch applies only to pad='kernel' (the "
+                             "xla-pad kernel has a single unconditioned "
+                             "DMA); refusing to silently ignore it")
         x_in = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         kernel = functools.partial(_conv_kernel, tile_h=th, wdim=wdim,
                                    c_in=c_in, has_bias=has_bias,
                                    split_k=split_k)
         sems = pltpu.SemaphoreType.DMA(())
+        xtile_shape = (th + 2, wdim + 2, c_in)
     elif prefetch:
         x_in = x
         kernel = functools.partial(_conv_kernel_padfree_prefetch, tile_h=th,
                                    wdim=wdim, c_in=c_in, has_bias=has_bias,
                                    split_k=split_k)
         sems = pltpu.SemaphoreType.DMA((2, 3))
+        xtile_shape = (2, th + 2, wdim + 2, c_in)
     else:
         x_in = x
         kernel = functools.partial(_conv_kernel_padfree, tile_h=th,
                                    wdim=wdim, c_in=c_in, has_bias=has_bias,
                                    split_k=split_k)
         sems = pltpu.SemaphoreType.DMA((3,))
+        xtile_shape = (th + 2, wdim + 2, c_in)
 
-    xtile_shape = ((2, th + 2, wdim + 2, c_in) if (pad == "kernel" and
-                                                   prefetch)
-                   else (th + 2, wdim + 2, c_in))
     grid = (b, h // th, c_out // co)
     flat = pl.pallas_call(
         kernel,

@@ -235,3 +235,8 @@ def test_bad_shapes_raise():
         conv3x3_im2col(x, jnp.zeros((5, 5, 4, 4)), interpret=True)
     with pytest.raises(ValueError):
         conv3x3_im2col(x, jnp.zeros((3, 3, 4, 4)), tile_h=3, interpret=True)
+    # prefetch only exists for the in-kernel-pad variant; silently ignoring
+    # it would mislabel an A/B probe measurement
+    with pytest.raises(ValueError, match="prefetch"):
+        conv3x3_im2col(x, jnp.zeros((3, 3, 4, 4)), pad="xla", prefetch=True,
+                       interpret=True)
