@@ -1,19 +1,41 @@
 """Implicit-im2col 3x3 convolution (Pallas, TPU) for the UNet's hot convs.
 
 Motivation (BENCH_NOTES.md "Round-3 conv roofline"): XLA's conv emitter
-achieves only ~50% of MXU peak on the ADM-64 res64 shape (64x64, 192->192),
-while the *same contraction* expressed as one im2col'd dot
-([B*H*W, 9*C_in] x [9*C_in, C_out]) measures 90.4% peak — but materializing
-the patches operand in HBM costs more bandwidth than it saves. This kernel
-builds the patch matrix **in VMEM, one row-tile at a time**, so the big-K
-dot runs at its measured-efficient shape while HBM sees only the original
-input (plus a 1-pixel zero halo) and the output:
+achieves only ~60% of MXU peak on the ADM-64 res64 shape (64x64, 192->192)
+and the SD latent res64 shape (320 channels), because the 192/320-lane
+channel dims pad to 256/384 on BOTH sides of the contraction. The *same
+contraction* expressed as one im2col'd dot ([B*H*W, 9*C_in] x
+[9*C_in, C_out]) pays the lane padding only once (K = 9*C_in is nearly
+tile-aligned) and measured 90% of peak — but materializing the patches
+operand in HBM costs more bandwidth than it saves. This kernel builds the
+patch matrix **in VMEM, one row-tile at a time**, so the big-K dot runs at
+its measured-efficient shape while HBM sees only the original input (plus
+two extra halo rows per tile) and the output.
 
-    grid (B, H/tile_h); per step:
-      DMA x_pad[b, i*tile_h : i*tile_h + tile_h + 2]  (HBM -> VMEM, w/ halo)
-      9 VMEM copies -> patches[tile_h, W, 9*C_in]      (the implicit im2col)
-      one MXU dot  [tile_h*W, 9*C_in] x [9*C_in, C_out] -> f32
-      (+ bias) -> out[b, i]
+Mosaic legality (learned the hard way — the first version of this kernel
+passed interpret-mode tests but failed to compile on the real TPU):
+`tpu.memref_slice` (manual `ref.at[...]` DMAs from HBM) requires every
+sliced trailing dim to be (8,128)-tile-aligned *against the padded
+buffer*; a 192-channel NHWC tensor is stored 256-padded, so even a
+full-channel manual slice is rejected ("Slice shape along dimension 3
+must be aligned to tiling (128), but is 192"). Pipelined BlockSpecs do
+not have that restriction when a block covers the full logical dim, so
+the halo is delivered by passing the input THREE times with different
+index maps instead of by manual DMA:
+
+    grid (B, H/tile_h, C_out/co_block); per row tile (co == 0):
+      main  block [1, tile_h, W, C]  rows [ti*th, ti*th+th)
+      above block [1, 1, W, C]       row  ti*th - 1   (clamped; zeroed at ti=0)
+      below block [1, 1, W, C]       row  ti*th + th  (clamped; zeroed at last)
+      patch build: 9 shifted VMEM copies -> patches[tile_h, W, 9*C_in]
+    every (co) step: one MXU dot [tile_h*W, 9*C_in] x [9*C_in, co] -> f32
+
+Pallas pipelining double-buffers the blocks, so the next tile's rows
+stream in while this tile builds + dots (the old manual-DMA design needed
+an explicit prefetch variant for that). Block shapes obey Mosaic tiling:
+W and C are full dims, 9*C_in is the full weight dim, tile_h*W is a
+multiple of 8 at every gated shape, and co_block is 128-aligned or the
+full C_out (enforced by _pick_co_block).
 
 The Pallas kernel is forward-only; `conv3x3` carries a custom_vjp whose
 backward delegates to the XLA conv's own VJP. That backward IS a hot path
@@ -25,10 +47,12 @@ fwd+VJP).
 
 Semantics match flax nn.Conv(features, (3,3), padding=1) exactly: NHWC x
 HWIO, stride 1, SAME padding (guided_diffusion/unet.py:216-252 ResBlock
-convs are the dominant consumers). Opt-in via ADT_IM2COL_CONV=1 pending an
-on-chip measurement (the ledger's prior Mosaic kernels at neighboring
-shapes measured net negative; estimated ceiling here is ~65-75% of peak on
-res64, i.e. ~+5% headline MFU).
+convs are the dominant consumers). MEASURED OUTCOME (BENCH_NOTES.md
+"Round-3 follow-up"): wins the isolated conv microbench only at
+64x64x320->320 (+5-8%), and even there loses end to end because XLA
+cannot fuse the adjacent elementwise ops into a custom call — the gate
+stays default-off; ADT_IM2COL_CONV=1 + the whitelist remain as the probe
+harness (ledger discipline: do not enable net-negative kernels).
 """
 
 from __future__ import annotations
@@ -44,13 +68,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["conv3x3", "conv3x3_im2col", "resolve_use_im2col"]
 
-# Patch-matrix VMEM budget per grid step (bf16 bytes). With double-buffered
-# weights/out blocks and the halo tile this keeps total VMEM well under the
-# ~16 MB/core ceiling.
-_PATCH_BYTES_BUDGET = 4 * 1024 * 1024
-# Weight-matrix [9*C_in, C_out] VMEM budget: it is resident for the whole
-# pallas_call next to the patch tile (ADM's largest, 576->576, is 6.0 MB).
-_WMAT_BYTES_BUDGET = 6 * 1024 * 1024 + 64 * 1024
+# Shapes (H, W, C_in, C_out) where the kernel measured FASTER than XLA's
+# conv on the ISOLATED conv microbench (BENCH_NOTES.md "Round-3
+# follow-up", 3 repeats): the SD latent res64 level (320 ch: XLA pads
+# 320->384 on both contraction sides, the im2col dot only on N; +5-8%
+# wall). Everywhere else XLA won (res64 192ch: the misaligned-lane patch
+# writes cost more than the K-padding saves; 640/1280 ch deep levels:
+# weight-block streaming; 384/576/768: XLA already at 80-99% of the
+# roofline). The END-TO-END A/B at the only winning shape measured NET
+# NEGATIVE (SD CFG step 111.8 -> 113.3 ms: XLA fuses the surrounding
+# GroupNorm-scale/SiLU/residual elementwise ops into its conv but cannot
+# fuse into a Pallas custom call, and that fusion loss exceeds the
+# isolated win) — so even with ADT_IM2COL_CONV=1 this whitelist buys
+# nothing in the product today; the gate + whitelist stay as the probe
+# harness for future shapes. Explicit use=True bypasses the whitelist
+# for probes and tests.
+_MEASURED_WINNERS = frozenset({(64, 64, 320, 320)})
+
+# Patch-matrix VMEM budget per grid step (bytes). The patch scratch is
+# single-buffered; main/above/below/wmat/out blocks are double-buffered by
+# the pipeline, so the conservative split below keeps the worst gated shape
+# (sd32: 2*1.5 MB wmat + 3 MB patches + tiles) well under the ~16 MB/core
+# ceiling.
+_PATCH_BYTES_BUDGET = 3 * 1024 * 1024
+# Weight-block [9*C_in, co_block] VMEM budget (double-buffered across the
+# C_out grid dim -> worst case 2x this resident).
+_WMAT_BYTES_BUDGET = 4 * 1024 * 1024
 
 
 def resolve_use_im2col(use: object, h: int, w: int, c_in: int,
@@ -58,10 +101,9 @@ def resolve_use_im2col(use: object, h: int, w: int, c_in: int,
     """Resolve "auto" | True | False for one conv site.
 
     Requires a real TPU backend (Mosaic lowering) and a shape the kernel
-    handles (static H divisible by some tile, 3x3 stride-1 SAME). "auto" is
+    handles with Mosaic-legal blocks (see module docstring). "auto" is
     additionally gated on ADT_IM2COL_CONV=1 — default OFF until the on-chip
-    measurement lands (BENCH_NOTES.md ledger discipline: neighboring Mosaic
-    kernels measured net negative; do not enable unmeasured kernels).
+    measurement lands (BENCH_NOTES.md ledger discipline).
     """
     if jax.default_backend() != "tpu":
         return False
@@ -71,34 +113,39 @@ def resolve_use_im2col(use: object, h: int, w: int, c_in: int,
         # XLA's direct conv is the right tool there
         return False
     itemsize = jnp.dtype(dtype).itemsize
-    if _pick_co_block(c_out, c_in, itemsize, min_block=64) is None:
-        # no C_out split keeps a useful [9*C_in, co_block] weight block
-        # within the VMEM budget (would need co_block < 64 lanes)
+    if _pick_co_block(c_out, c_in, itemsize) is None:
+        # no 128-aligned (or full) C_out block fits the VMEM weight budget
         return False
-    if _pick_tile_h(h, w, c_in, itemsize) is None:
+    th = _pick_tile_h(h, w, c_in, itemsize)
+    if th is None:
+        return False
+    if (th * w) % 8 != 0 and th != h:
+        # output block [tile_h*W, co] must be sublane-aligned unless it
+        # covers the whole image
         return False
     if use == "auto":
-        return os.environ.get("ADT_IM2COL_CONV", "0") == "1"
+        return (os.environ.get("ADT_IM2COL_CONV", "0") == "1"
+                and (h, w, c_in, c_out) in _MEASURED_WINNERS)
     return bool(use)
 
 
-def _pick_co_block(c_out: int, c_in: int, itemsize: int = 2,
-                   min_block: int = 1) -> "Optional[int]":
-    """Largest divisor of C_out whose [9*C_in, co_block] weight block fits
-    the VMEM budget (the block is double-buffered across the C_out grid
-    dim, hence the headroom in _WMAT_BYTES_BUDGET). SD's deepest level
-    (1280->1280 bf16) splits to co_block=256; ADM shapes keep one block.
-    min_block is the gate's efficiency floor (128-lane MXU tiles); the
-    kernel itself is correct for any divisor."""
+def _pick_co_block(c_out: int, c_in: int,
+                   itemsize: int = 2) -> "Optional[int]":
+    """Largest Mosaic-legal divisor of C_out whose [9*C_in, co] weight
+    block fits the VMEM budget. Legal = 128-lane-aligned, or the full
+    C_out (a block equal to the array dim is exempt from alignment). SD's
+    deep levels (640/1280 channels, bf16) split to co=128; ADM's 192/384
+    keep one block; ADM's 576 has no legal split (5.97 MB full block
+    exceeds the budget, and 576 has no 128-multiple divisor) -> None, and
+    the gate falls back to XLA conv there (measured 95% of peak already).
+    """
     best = None
     for co in range(1, c_out + 1):
-        if c_out % co:
+        if c_out % co or (co % 128 and co != c_out):
             continue
         if 9 * c_in * co * itemsize > _WMAT_BYTES_BUDGET:
             break
         best = co
-    if best is not None and best < min_block:
-        return None
     return best
 
 
@@ -122,17 +169,6 @@ def _pick_tile_h(h: int, w: int, c_in: int,
     return best
 
 
-def _build_patches(xtile, patches, *, tile_h: int, wdim: int, c_in: int):
-    # Implicit im2col: 9 shifted [tile_h, W, C] windows of the halo tile
-    # laid side by side along the contraction dim. Column block dh*3+dw must
-    # match the HWIO weight reshape (rows (dh*3+dw)*C_in + ci).
-    for dh in range(3):
-        for dw in range(3):
-            j = dh * 3 + dw
-            patches[:, :, j * c_in:(j + 1) * c_in] = (
-                xtile[dh:dh + tile_h, dw:dw + wdim, :])
-
-
 def _im2col_dot(wmat_ref, bias_ref, out_ref, patches, *,
                 tile_h: int, wdim: int, c_in: int, has_bias: bool,
                 split_k: bool = False):
@@ -140,8 +176,8 @@ def _im2col_dot(wmat_ref, bias_ref, out_ref, patches, *,
     if split_k:
         # one K=3*C_in dot per kernel row, accumulated in f32: dot(dh)
         # depends only on that dh's patch columns, so Mosaic may overlap
-        # the next row's VPU copies with the current MXU dot (the fused
-        # all-K dot below serializes build -> dot). Probe decides.
+        # patch-build VPU work with the MXU dots (the fused all-K dot
+        # below serializes build -> dot). Probe decides.
         acc = jnp.zeros((m, out_ref.shape[-1]), jnp.float32)
         for dh in range(3):
             pk = patches[:, :, dh * 3 * c_in:(dh + 1) * 3 * c_in]
@@ -156,160 +192,63 @@ def _im2col_dot(wmat_ref, bias_ref, out_ref, patches, *,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _conv_kernel(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches, sem, *,
-                 tile_h: int, wdim: int, c_in: int, has_bias: bool,
-                 split_k: bool = False):
-    """pad="xla" variant: x_hbm is pre-padded [B, H+2, W+2, C].
-
-    Grid is (B, H/tile_h, C_out/co_block), C_out innermost: the halo DMA
-    and patch build run once per row tile (co == 0) and the patch matrix
-    persists in scratch across the C_out blocks."""
-    bi = pl.program_id(0)
-    ti = pl.program_id(1)
-
-    @pl.when(pl.program_id(2) == 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(ti * tile_h, tile_h + 2)], xtile, sem)
-        cp.start()
-        cp.wait()
-        _build_patches(xtile, patches, tile_h=tile_h, wdim=wdim, c_in=c_in)
-
-    _im2col_dot(wmat_ref, bias_ref, out_ref, patches,
-                tile_h=tile_h, wdim=wdim, c_in=c_in, has_bias=has_bias,
-                split_k=split_k)
-
-
-def _issue_halo(x_hbm, xt, sems_row, bi_, ti_, n_t, *, tile_h: int,
-                wdim: int, c_in: int, zero_cols):
-    """Zero-fill + start the halo DMAs for tile (bi_, ti_) into xtile view
-    ``xt`` tracked by ``sems_row`` ([3] DMA semaphores: interior/top/
-    bottom). The ONE definition of the in-kernel halo assembly, shared by
-    the plain and prefetch padfree kernels.
-
-    zero_cols: the W-halo columns are never DMA-targeted, so they persist
-    across tiles — pass True only on a buffer's first use. Edge ROWS must
-    be re-zeroed per edge tile (interior tiles DMA into the same rows)."""
-    r0_ = ti_ * tile_h
-
-    @pl.when(zero_cols)
-    def _():
-        xt[:, 0, :] = jnp.zeros((tile_h + 2, c_in), xt.dtype)
-        xt[:, wdim + 1, :] = jnp.zeros((tile_h + 2, c_in), xt.dtype)
-
-    pltpu.make_async_copy(
-        x_hbm.at[bi_, pl.ds(r0_, tile_h)],
-        xt.at[pl.ds(1, tile_h), pl.ds(1, wdim)], sems_row.at[0]).start()
-
-    @pl.when(ti_ == 0)
-    def _():
-        xt[0, 1:wdim + 1, :] = jnp.zeros((wdim, c_in), xt.dtype)
-
-    @pl.when(ti_ > 0)
-    def _():
-        pltpu.make_async_copy(
-            x_hbm.at[bi_, r0_ - 1], xt.at[0, pl.ds(1, wdim)],
-            sems_row.at[1]).start()
-
-    @pl.when(ti_ == n_t - 1)
-    def _():
-        xt[tile_h + 1, 1:wdim + 1, :] = jnp.zeros((wdim, c_in), xt.dtype)
-
-    @pl.when(ti_ < n_t - 1)
-    def _():
-        pltpu.make_async_copy(
-            x_hbm.at[bi_, r0_ + tile_h],
-            xt.at[tile_h + 1, pl.ds(1, wdim)], sems_row.at[2]).start()
-
-
-def _wait_halo(x_hbm, xt, sems_row, bi_, ti_, n_t, *, tile_h: int,
-               wdim: int):
-    """Wait for _issue_halo's DMAs — the conditions mirror the issue side
-    exactly (same ti_), so exactly the started copies are awaited."""
-    r0_ = ti_ * tile_h
-    pltpu.make_async_copy(
-        x_hbm.at[bi_, pl.ds(r0_, tile_h)],
-        xt.at[pl.ds(1, tile_h), pl.ds(1, wdim)], sems_row.at[0]).wait()
-
-    @pl.when(ti_ > 0)
-    def _():
-        pltpu.make_async_copy(
-            x_hbm.at[bi_, r0_ - 1], xt.at[0, pl.ds(1, wdim)],
-            sems_row.at[1]).wait()
-
-    @pl.when(ti_ < n_t - 1)
-    def _():
-        pltpu.make_async_copy(
-            x_hbm.at[bi_, r0_ + tile_h],
-            xt.at[tile_h + 1, pl.ds(1, wdim)], sems_row.at[2]).wait()
-
-
-def _conv_kernel_padfree(x_hbm, wmat_ref, bias_ref, out_ref, xtile, patches,
-                         sems, *, tile_h: int, wdim: int, c_in: int,
-                         has_bias: bool, split_k: bool = False):
-    """pad="kernel" variant: x_hbm is the UNPADDED [B, H, W, C] input; the
-    1-pixel zero halo is assembled in VMEM (zeroed columns + conditional
-    edge rows), so the input never takes the XLA pad's extra HBM round
-    trip (~2x the input traffic at res64 — the pad output cannot fuse into
-    a custom call)."""
-    bi = pl.program_id(0)
+def _conv_kernel(main_ref, above_ref, below_ref, wmat_ref, bias_ref,
+                 out_ref, patches, *, tile_h: int, wdim: int, c_in: int,
+                 has_bias: bool, split_k: bool = False):
+    """Grid (B, H/tile_h, C_out/co_block), C_out innermost: the patch
+    build runs once per row tile (co == 0) and the patch matrix persists
+    in scratch across the C_out blocks (the TPU grid is sequential)."""
     ti = pl.program_id(1)
     n_t = pl.num_programs(1)
+    th = tile_h
+
+    def put(dh, rows, src):
+        # Write src [R, W, C] as the three dw-shifted column blocks of
+        # patch rows `rows` for kernel row dh. Column block dh*3+dw must
+        # match the HWIO weight reshape (rows (dh*3+dw)*C_in + ci); the
+        # W-edge columns of the dw != 1 shifts are the SAME-pad zeros.
+        zcol = jnp.zeros((src.shape[0], c_in), src.dtype)
+        for dw in range(3):
+            lo = (dh * 3 + dw) * c_in
+            if dw == 0:
+                patches[rows, 0, lo:lo + c_in] = zcol
+                if wdim > 1:
+                    patches[rows, 1:, lo:lo + c_in] = src[:, :wdim - 1]
+            elif dw == 1:
+                patches[rows, :, lo:lo + c_in] = src
+            else:
+                if wdim > 1:
+                    patches[rows, :wdim - 1, lo:lo + c_in] = src[:, 1:]
+                patches[rows, wdim - 1, lo:lo + c_in] = zcol
 
     @pl.when(pl.program_id(2) == 0)
     def _():
-        _issue_halo(x_hbm, xtile, sems, bi, ti, n_t, tile_h=tile_h,
-                    wdim=wdim, c_in=c_in,
-                    zero_cols=(bi * n_t + ti) == 0)
-        _wait_halo(x_hbm, xtile, sems, bi, ti, n_t, tile_h=tile_h,
-                   wdim=wdim)
-        _build_patches(xtile, patches, tile_h=tile_h, wdim=wdim, c_in=c_in)
+        main = main_ref[0]  # [tile_h, W, C]
+        # interior rows: kernel row dh reads input row r + dh - 1
+        put(1, slice(0, th), main)
+        if th > 1:
+            put(0, slice(1, th), main[:th - 1])
+            put(2, slice(0, th - 1), main[1:])
+        # halo rows: the tile above/below, or the SAME-pad zero row at the
+        # image edges (above/below blocks are index-clamped there and
+        # must be ignored)
+        zrow = jnp.zeros((1, wdim, c_in), main.dtype)
 
-    _im2col_dot(wmat_ref, bias_ref, out_ref, patches,
-                tile_h=tile_h, wdim=wdim, c_in=c_in, has_bias=has_bias,
-                split_k=split_k)
-
-
-def _conv_kernel_padfree_prefetch(x_hbm, wmat_ref, bias_ref, out_ref,
-                                  xtile2, patches, sems2, *, tile_h: int,
-                                  wdim: int, c_in: int, has_bias: bool,
-                                  split_k: bool = False):
-    """pad="kernel" + cross-tile prefetch: the NEXT row tile's halo DMA is
-    started before this tile's patch build + dots, hiding the DMA latency
-    the plain padfree kernel serializes. xtile2 is 2-slot ([2, th+2, W+2,
-    C], slot = linear tile index % 2, correct across batch boundaries);
-    sems2 is [2, 3]. patches needs one slot — tile t+1's build happens
-    strictly after tile t's last C_out block (the TPU grid is
-    sequential)."""
-    bi = pl.program_id(0)
-    ti = pl.program_id(1)
-    n_t = pl.num_programs(1)
-    n_tiles = pl.num_programs(0) * n_t
-    tile_idx = bi * n_t + ti
-
-    def issue(t):
-        _issue_halo(x_hbm, xtile2.at[t % 2], sems2.at[t % 2],
-                    t // n_t, t % n_t, n_t, tile_h=tile_h, wdim=wdim,
-                    c_in=c_in, zero_cols=t < 2)
-
-    @pl.when(pl.program_id(2) == 0)
-    def _():
-        slot = tile_idx % 2
-
-        @pl.when(tile_idx == 0)
+        @pl.when(ti == 0)
         def _():
-            issue(0)  # warmup: no earlier step issued tile 0
+            put(0, slice(0, 1), zrow)
 
-        _wait_halo(x_hbm, xtile2.at[slot], sems2.at[slot], bi, ti, n_t,
-                   tile_h=tile_h, wdim=wdim)
-
-        # prefetch the next tile while this tile builds + dots
-        @pl.when(tile_idx + 1 < n_tiles)
+        @pl.when(ti > 0)
         def _():
-            issue(tile_idx + 1)
+            put(0, slice(0, 1), above_ref[0])
 
-        _build_patches(xtile2.at[slot], patches, tile_h=tile_h, wdim=wdim,
-                       c_in=c_in)
+        @pl.when(ti == n_t - 1)
+        def _():
+            put(2, slice(th - 1, th), zrow)
+
+        @pl.when(ti < n_t - 1)
+        def _():
+            put(2, slice(th - 1, th), below_ref[0])
 
     _im2col_dot(wmat_ref, bias_ref, out_ref, patches,
                 tile_h=tile_h, wdim=wdim, c_in=c_in, has_bias=has_bias,
@@ -320,26 +259,22 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
                    bias: Optional[jnp.ndarray] = None, *,
                    tile_h: Optional[int] = None,
                    co_block: Optional[int] = None,
-                   pad: str = "kernel",
                    split_k: bool = False,
-                   prefetch: bool = False,
                    interpret: bool = False) -> jnp.ndarray:
     """3x3 stride-1 SAME conv, NHWC x HWIO -> NHWC (forward only).
 
     x: [B, H, W, C_in]; w: [3, 3, C_in, C_out]; bias: [C_out] or None.
-    pad: "kernel" assembles the zero halo in VMEM (no extra HBM pass);
-    "xla" pre-pads with jnp.pad (kept for the A/B probe).
     co_block: C_out is split over the innermost grid dim in blocks of this
-    size (default: largest divisor within the VMEM weight budget); the
-    patch matrix is built once per row tile and reused across blocks.
+    size (default: largest Mosaic-legal divisor within the VMEM weight
+    budget); the patch matrix is built once per row tile and reused across
+    blocks. Explicit co_block/tile_h skip the legality gate (useful under
+    interpret=True); on a real TPU they must keep blocks tile-aligned.
     """
     b, h, wdim, c_in = x.shape
     kh, kw, wc_in, c_out = w.shape
     if (kh, kw) != (3, 3) or wc_in != c_in:
         raise ValueError(f"conv3x3_im2col needs [3,3,{c_in},*] weights, "
                          f"got {w.shape}")
-    if pad not in ("kernel", "xla"):
-        raise ValueError(f"pad must be 'kernel' or 'xla', got {pad!r}")
     itemsize = jnp.dtype(x.dtype).itemsize
     th = (tile_h if tile_h is not None
           else _pick_tile_h(h, wdim, c_in, itemsize))
@@ -356,55 +291,35 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
     bias2d = (bias.reshape(1, c_out) if has_bias
               else jnp.zeros((1, c_out), w.dtype))
 
-    # one decision per branch: kernel fn + input + sems + halo-tile shape
-    if pad == "xla":
-        if prefetch:
-            raise ValueError("prefetch applies only to pad='kernel' (the "
-                             "xla-pad kernel has a single unconditioned "
-                             "DMA); refusing to silently ignore it")
-        x_in = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        kernel = functools.partial(_conv_kernel, tile_h=th, wdim=wdim,
-                                   c_in=c_in, has_bias=has_bias,
-                                   split_k=split_k)
-        sems = pltpu.SemaphoreType.DMA(())
-        xtile_shape = (th + 2, wdim + 2, c_in)
-    elif prefetch:
-        x_in = x
-        kernel = functools.partial(_conv_kernel_padfree_prefetch, tile_h=th,
-                                   wdim=wdim, c_in=c_in, has_bias=has_bias,
-                                   split_k=split_k)
-        sems = pltpu.SemaphoreType.DMA((2, 3))
-        xtile_shape = (2, th + 2, wdim + 2, c_in)
-    else:
-        x_in = x
-        kernel = functools.partial(_conv_kernel_padfree, tile_h=th,
-                                   wdim=wdim, c_in=c_in, has_bias=has_bias,
-                                   split_k=split_k)
-        sems = pltpu.SemaphoreType.DMA((3,))
-        xtile_shape = (th + 2, wdim + 2, c_in)
-
+    kernel = functools.partial(_conv_kernel, tile_h=th, wdim=wdim,
+                               c_in=c_in, has_bias=has_bias,
+                               split_k=split_k)
     grid = (b, h // th, c_out // co)
     flat = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),         # input stays in HBM
-            pl.BlockSpec((9 * c_in, co), lambda bi, ti, ci: (0, ci),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda bi, ti, ci: (0, ci),
-                         memory_space=pltpu.VMEM),
+            # three views of x deliver the row tile + 1-row halos; the
+            # clamped halo indices are unused at the image edges (the
+            # kernel writes the zero pad row instead). Pallas skips the
+            # re-fetch across co steps (block indices are ci-invariant).
+            pl.BlockSpec((1, th, wdim, c_in),
+                         lambda bi, ti, ci: (bi, ti, 0, 0)),
+            pl.BlockSpec((1, 1, wdim, c_in),
+                         lambda bi, ti, ci: (bi, jnp.maximum(ti * th - 1, 0),
+                                             0, 0)),
+            pl.BlockSpec((1, 1, wdim, c_in),
+                         lambda bi, ti, ci: (bi, jnp.minimum(ti * th + th,
+                                                             h - 1), 0, 0)),
+            pl.BlockSpec((9 * c_in, co), lambda bi, ti, ci: (0, ci)),
+            pl.BlockSpec((1, co), lambda bi, ti, ci: (0, ci)),
         ],
         out_specs=pl.BlockSpec((1, th * wdim, co),
-                               lambda bi, ti, ci: (bi, ti, ci),
-                               memory_space=pltpu.VMEM),
+                               lambda bi, ti, ci: (bi, ti, ci)),
         out_shape=jax.ShapeDtypeStruct((b, h * wdim, c_out), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM(xtile_shape, x.dtype),
-            pltpu.VMEM((th, wdim, 9 * c_in), x.dtype),
-            sems,
-        ],
+        scratch_shapes=[pltpu.VMEM((th, wdim, 9 * c_in), x.dtype)],
         interpret=interpret,
-    )(x_in, wmat, bias2d)
+    )(x, x, x, wmat, bias2d)
     return flat.reshape(b, h, wdim, c_out)
 
 

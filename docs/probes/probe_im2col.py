@@ -81,20 +81,15 @@ def run_shape(name):
     variants = {"xla_conv": lambda x_, w__: chain(xla_conv, x_, w__)}
     for th in sorted({_pick_tile_h(h, w_, cin), max(1, h // 8), h // 4 or 1}
                      - {None}):
-        if h % th == 0 and th * w_ * 9 * cin * 2 <= 6 * 1024 * 1024:
-            for pad in ("kernel", "xla"):
-                variants[f"im2col_th{th}_{pad}"] = (
-                    lambda x_, w__, th=th, pad=pad: chain(
-                        functools.partial(conv3x3_im2col, tile_h=th,
-                                          pad=pad), x_, w__))
+        if (h % th == 0 and (th * w_) % 8 == 0
+                and th * w_ * 9 * cin * 2 <= 3 * 1024 * 1024):
+            variants[f"im2col_th{th}"] = (
+                lambda x_, w__, th=th: chain(
+                    functools.partial(conv3x3_im2col, tile_h=th), x_, w__))
             variants[f"im2col_th{th}_splitk"] = (
                 lambda x_, w__, th=th: chain(
                     functools.partial(conv3x3_im2col, tile_h=th,
                                       split_k=True), x_, w__))
-            variants[f"im2col_th{th}_prefetch"] = (
-                lambda x_, w__, th=th: chain(
-                    functools.partial(conv3x3_im2col, tile_h=th,
-                                      prefetch=True), x_, w__))
 
     print(f"== {name} B={b} {h}x{w_} {cin}->{cout}  "
           f"ctrl={t_ctrl*1e3/N_CHAIN:.3f} ms/iter")

@@ -36,27 +36,38 @@ SHAPES = [
 
 @pytest.mark.parametrize("shape", SHAPES)
 @pytest.mark.parametrize("bias", [False, True])
-@pytest.mark.parametrize("pad", ["kernel", "xla"])
-def test_forward_parity(shape, bias, pad):
+def test_forward_parity(shape, bias):
     b, h, w, cin, cout, th = shape
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     x = jax.random.normal(ks[0], (b, h, w, cin), jnp.float32)
     wk = jax.random.normal(ks[1], (3, 3, cin, cout), jnp.float32) * 0.1
     bk = jax.random.normal(ks[2], (cout,), jnp.float32) if bias else None
 
-    got = conv3x3_im2col(x, wk, bk, tile_h=th, pad=pad, interpret=True)
+    got = conv3x3_im2col(x, wk, bk, tile_h=th, interpret=True)
     want = _xla(x, wk, bk)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
 
 def test_single_row_tiles_edge_halo():
-    # tile_h=1 makes every tile an edge or interior-halo case; catches
-    # off-by-ones in the conditional top/bottom halo DMAs of pad="kernel".
+    # tile_h=1 makes every tile an edge or halo-row case: every patch row
+    # comes from the above/below halo blocks, never from the main tile;
+    # catches off-by-ones in the clamped halo index maps.
     ks = jax.random.split(jax.random.PRNGKey(3), 2)
     x = jax.random.normal(ks[0], (1, 5, 4, 8), jnp.float32)
     wk = jax.random.normal(ks[1], (3, 3, 8, 8), jnp.float32) * 0.1
-    got = conv3x3_im2col(x, wk, tile_h=1, pad="kernel", interpret=True)
+    got = conv3x3_im2col(x, wk, tile_h=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_xla(x, wk)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_whole_image_single_tile():
+    # tile_h == H: both halo blocks clamp and must be replaced by the
+    # SAME-pad zero rows.
+    ks = jax.random.split(jax.random.PRNGKey(4), 2)
+    x = jax.random.normal(ks[0], (2, 4, 8, 8), jnp.float32)
+    wk = jax.random.normal(ks[1], (3, 3, 8, 8), jnp.float32) * 0.1
+    got = conv3x3_im2col(x, wk, tile_h=4, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(_xla(x, wk)),
                                rtol=1e-5, atol=1e-5)
 
@@ -101,7 +112,7 @@ def test_custom_vjp_backward(bias):
 
 
 def test_tile_picker_and_gate():
-    # ADM-64 res64: H=64 tiles at 8 rows (512-row patch matrix, <=4MB bf16)
+    # ADM-64 res64: H=64 tiles at 8 rows (512-row patch matrix, <=3MB bf16)
     assert _pick_tile_h(64, 64, 192) == 8
     # res16 at 576 channels: whole-image rows still fit
     th = _pick_tile_h(16, 16, 576)
@@ -111,42 +122,23 @@ def test_tile_picker_and_gate():
     assert resolve_use_im2col("auto", 64, 64, 192, 192) is False
 
 
-@pytest.mark.parametrize("pad", ["kernel", "xla"])
-def test_cout_grid_split(pad):
+def test_cout_grid_split():
     # C_out split over the innermost grid dim: patches built at co==0 must
     # persist across the later C_out blocks of the same row tile.
     ks = jax.random.split(jax.random.PRNGKey(11), 2)
     x = jax.random.normal(ks[0], (2, 8, 8, 16), jnp.float32)
     wk = jax.random.normal(ks[1], (3, 3, 16, 24), jnp.float32) * 0.1
-    got = conv3x3_im2col(x, wk, tile_h=4, co_block=8, pad=pad,
-                         interpret=True)
+    got = conv3x3_im2col(x, wk, tile_h=4, co_block=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(_xla(x, wk)),
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("pad", ["kernel", "xla"])
-def test_split_k_variant(pad):
+def test_split_k_variant():
     ks = jax.random.split(jax.random.PRNGKey(12), 3)
     x = jax.random.normal(ks[0], (2, 8, 8, 16), jnp.float32)
     wk = jax.random.normal(ks[1], (3, 3, 16, 24), jnp.float32) * 0.1
     bk = jax.random.normal(ks[2], (24,), jnp.float32)
-    got = conv3x3_im2col(x, wk, bk, tile_h=4, pad=pad, split_k=True,
-                         interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(_xla(x, wk, bk)),
-                               rtol=1e-5, atol=1e-5)
-
-
-@pytest.mark.parametrize("co_block", [None, 8])
-def test_prefetch_variant(co_block):
-    # Cross-tile DMA prefetch: slot parity must track the LINEAR tile index
-    # across batch boundaries (B=3, odd tile count per image), and the
-    # prefetched tile's conditional halo handling must match its own ti.
-    ks = jax.random.split(jax.random.PRNGKey(13), 3)
-    x = jax.random.normal(ks[0], (3, 6, 8, 16), jnp.float32)
-    wk = jax.random.normal(ks[1], (3, 3, 16, 16), jnp.float32) * 0.1
-    bk = jax.random.normal(ks[2], (16,), jnp.float32)
-    got = conv3x3_im2col(x, wk, bk, tile_h=2, co_block=co_block,
-                         prefetch=True, interpret=True)
+    got = conv3x3_im2col(x, wk, bk, tile_h=4, split_k=True, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(_xla(x, wk, bk)),
                                rtol=1e-5, atol=1e-5)
 
@@ -154,16 +146,18 @@ def test_prefetch_variant(co_block):
 def test_co_block_picker():
     from autodiffusion_tpu.ops.conv_im2col import _pick_co_block
 
-    # SD deepest level bf16: [9*1280, co] budgeted -> 256-wide blocks
-    assert _pick_co_block(1280, 1280, 2) == 256
-    # ADM largest: whole 576 fits in one block
-    assert _pick_co_block(576, 576, 2) == 576
-    # f32 halves the feasible block
-    assert _pick_co_block(1280, 1280, 4) == 128
-    # the gate's efficiency floor: no >=64 divisor fits (absurd c_in)
-    assert _pick_co_block(64, 40000, 2, min_block=64) is None
-    # the kernel-correctness picker has no floor
-    assert _pick_co_block(64, 40000, 2) == 8
+    # Mosaic legality: blocks must be 128-aligned or the full C_out.
+    # SD deep levels bf16: [9*1280, co] budgeted -> 128-wide blocks
+    assert _pick_co_block(1280, 1280, 2) == 128
+    assert _pick_co_block(640, 640, 2) == 128
+    # ADM 192/384: the whole C_out fits in one (alignment-exempt) block
+    assert _pick_co_block(192, 192, 2) == 192
+    assert _pick_co_block(384, 384, 2) == 384
+    # ADM 576: full block (5.97 MB) exceeds the budget and 576 has no
+    # 128-multiple divisor -> no legal block; the gate falls back to XLA
+    assert _pick_co_block(576, 576, 2) is None
+    # f32 at the deepest level: even co=128 exceeds the budget
+    assert _pick_co_block(1280, 1280, 4) is None
 
 
 def test_conv3x3_module_matches_nn_conv():
@@ -190,8 +184,6 @@ def test_conv3x3_module_im2col_dispatch(monkeypatch):
     # Force the gate open (it requires a TPU backend normally) and route the
     # kernel through interpret mode: the module's Pallas path must agree
     # with its own fallback.
-    import functools as ft
-
     import autodiffusion_tpu.ops.conv_im2col as ci
     from autodiffusion_tpu.models.nn import Conv3x3
 
@@ -216,17 +208,22 @@ def test_gate_shape_bounds(monkeypatch):
     # tiny channel dims idle the MXU
     assert ci.resolve_use_im2col(True, 64, 64, 3, 192) is False
     assert ci.resolve_use_im2col(True, 64, 64, 192, 6) is False
-    # no C_out block within the weight VMEM budget (absurd c_in)
+    # no legal C_out block within the weight VMEM budget (absurd c_in)
     assert ci.resolve_use_im2col(True, 8, 8, 40000, 64) is False
+    # ADM's 576-channel level: no Mosaic-legal C_out block -> XLA conv
+    assert ci.resolve_use_im2col(True, 16, 16, 576, 576) is False
     # ADM/SD hot shapes pass when forced, incl. the co-split deep level
     assert ci.resolve_use_im2col(True, 64, 64, 192, 192) is True
     assert ci.resolve_use_im2col(True, 64, 64, 320, 320) is True
     assert ci.resolve_use_im2col(True, 8, 8, 1280, 1280) is True
-    # ...and "auto" follows the env gate
+    # ...and "auto" follows the env gate AND the measured-winner whitelist:
+    # only the SD res64 320-channel shape measured faster than XLA conv
     monkeypatch.delenv("ADT_IM2COL_CONV", raising=False)
-    assert ci.resolve_use_im2col("auto", 64, 64, 192, 192) is False
+    assert ci.resolve_use_im2col("auto", 64, 64, 320, 320) is False
     monkeypatch.setenv("ADT_IM2COL_CONV", "1")
-    assert ci.resolve_use_im2col("auto", 64, 64, 192, 192) is True
+    assert ci.resolve_use_im2col("auto", 64, 64, 320, 320) is True
+    # ADM res64 (192 ch) measured SLOWER -> auto never enables it
+    assert ci.resolve_use_im2col("auto", 64, 64, 192, 192) is False
 
 
 def test_bad_shapes_raise():
@@ -235,8 +232,3 @@ def test_bad_shapes_raise():
         conv3x3_im2col(x, jnp.zeros((5, 5, 4, 4)), interpret=True)
     with pytest.raises(ValueError):
         conv3x3_im2col(x, jnp.zeros((3, 3, 4, 4)), tile_h=3, interpret=True)
-    # prefetch only exists for the in-kernel-pad variant; silently ignoring
-    # it would mislabel an A/B probe measurement
-    with pytest.raises(ValueError, match="prefetch"):
-        conv3x3_im2col(x, jnp.zeros((3, 3, 4, 4)), pad="xla", prefetch=True,
-                       interpret=True)
