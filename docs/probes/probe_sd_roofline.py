@@ -7,9 +7,14 @@ XLA ceiling there. This probe does the same for the SD v1 CFG denoise step
 1. `sd_sites()` walks the exact SDUNetModel structure (models/sd_unet.py,
    mirroring openaimodel.py:413-744) and emits every FLOP-bearing site
    with its op class and shape.
-2. On chip, each unique shape class is microbenched with the chained
-   fori_loop methodology of the conv roofline probes (dispatch bias
-   subtracted via a trivial-add control).
+2. On chip, each unique shape class is microbenched with a TWO-POINT
+   chained-fori_loop slope: the same body compiled at chain lengths 32
+   and 96, per-iter time = (t96 - t32) / 64. The first run of this
+   probe used a trivial-add control subtraction instead; ~30 ms of
+   tunnel dispatch jitter (BENCH_NOTES environment quirk #4) made
+   several nets underflow to ~0 (billions of % peak). The slope method
+   cancels any constant per-dispatch overhead exactly and is immune to
+   that failure mode.
 3. The per-class measured efficiencies price every site; the sum is
    reconciled against the measured step time. The residual and the
    per-class attribution say where the next lever is (or that there is
@@ -37,7 +42,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-N_CHAIN = 32
+N_LO, N_HI = 32, 96     # two-point chain lengths; slope = 64 iters
 PEAK = 197e12           # v5e bf16 MXU peak, matches bench.py
 HBM_BW = 819e9          # v5e HBM peak bytes/s
 
@@ -184,10 +189,20 @@ def time_compiled(compiled, args):
     return float(np.median(times))
 
 
-def _ctrl_time(x):
-    ctrl = jax.jit(lambda x_: jax.lax.fori_loop(
-        0, N_CHAIN, lambda i, y: y + jnp.bfloat16(1.0), x_))
-    return time_compiled(ctrl.lower(x).compile(), (x,))
+def chain_slope(body, x):
+    """Per-iteration seconds of `body` via the two-point chain slope.
+
+    Compiles fori_loop(body) at N_LO and N_HI iterations; the slope
+    (t_hi - t_lo) / (N_HI - N_LO) cancels constant dispatch/sync
+    overhead exactly, unlike a control-subtraction (which underflowed
+    under ~30 ms tunnel jitter in the first run of this probe).
+    """
+    t = {}
+    for n in (N_LO, N_HI):
+        fn = jax.jit(functools.partial(
+            lambda n_, x_: jax.lax.fori_loop(0, n_, body, x_), n))
+        t[n] = time_compiled(fn.lower(x).compile(), (x,))
+    return max((t[N_HI] - t[N_LO]) / (N_HI - N_LO), 1e-9)
 
 
 def bench_conv(shape, stride=1):
@@ -220,10 +235,7 @@ def bench_conv(shape, stride=1):
             return conv(z, wb, 1)
         flops_iter = 2.0 * b * ho * wo * 9 * ci * co + 2.0 * b * hi * wi * 9 * co * ci
 
-    fn = jax.jit(lambda x_: jax.lax.fori_loop(0, N_CHAIN, body, x_))
-    t_ctrl = _ctrl_time(x)
-    dt = time_compiled(fn.lower(x).compile(), (x,))
-    net = max(dt - t_ctrl, 1e-9) / N_CHAIN
+    net = chain_slope(body, x)
     return flops_iter / net / PEAK, net
 
 
@@ -237,10 +249,7 @@ def bench_matmul(shape):
         return jnp.dot(jnp.dot(y, w1, preferred_element_type=jnp.bfloat16),
                        w2, preferred_element_type=jnp.bfloat16)
 
-    fn = jax.jit(lambda x_: jax.lax.fori_loop(0, N_CHAIN, body, x_))
-    t_ctrl = _ctrl_time(x)
-    dt = time_compiled(fn.lower(x).compile(), (x,))
-    net = max(dt - t_ctrl, 1e-9) / N_CHAIN
+    net = chain_slope(body, x)
     return (2.0 * m * k * n * 2) / net / PEAK, net
 
 
@@ -270,10 +279,7 @@ def bench_attn(shape, use_flash):
     def body(i, y):
         return core(y, k, v)
 
-    fn = jax.jit(lambda q_: jax.lax.fori_loop(0, N_CHAIN, body, q_))
-    t_ctrl = _ctrl_time(q)
-    dt = time_compiled(fn.lower(q).compile(), (q,))
-    net = max(dt - t_ctrl, 1e-9) / N_CHAIN
+    net = chain_slope(body, q)
     return (4.0 * b * heads * t * s * dh) / net / PEAK, net
 
 
@@ -290,11 +296,7 @@ def bench_bw():
         h = (y32 - mu) * jax.lax.rsqrt(var + 1e-5)
         return jax.nn.silu(h.reshape(y.shape).astype(y.dtype))
 
-    fn = jax.jit(lambda x_: jax.lax.fori_loop(
-        0, N_CHAIN, lambda i, y: gn(y), x_))
-    t_ctrl = _ctrl_time(x)
-    dt = time_compiled(fn.lower(x).compile(), (x,))
-    net = max(dt - t_ctrl, 1e-9) / N_CHAIN
+    net = chain_slope(lambda i, y: gn(y), x)
     nbytes = 3 * x.size * 2  # 2 reads + 1 write, bf16
     return nbytes / net  # bytes/s
 
