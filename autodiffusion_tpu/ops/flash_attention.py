@@ -11,12 +11,18 @@ pipeline's automatic double-buffering of K/V blocks instead of hand-rolled
 DMA. Inputs are [B, H, T, D] with optional separate source length S
 (cross-attention).
 
-Numerics: logits and the softmax state run in float32 regardless of input
-dtype (matching the f32-softmax policy of the einsum path); output is cast
-back to the value dtype. D <= 512 (multi-lane-tile blocks; block sizes are
-capped harder for D > 128 so the q/k/v/acc VMEM buffers still fit — the
-VAE mid-block's single-head D=512 attention is the motivating shape);
-T/S are padded to block multiples with masking.
+Numerics: the MXU dots take the INPUT-dtype operands and accumulate in
+float32 (`preferred_element_type`) — exactly the einsum path's contract
+(models/attention.py: bf16 einsum with f32 accumulation, softmax weights
+cast back to the value dtype). The softmax state (max/sum/accumulator)
+stays float32. Upcasting operands to f32 *before* the dot — the kernel's
+original behavior, restorable with ADT_FLASH_F32_DOTS=1 for A/B runs —
+forces the MXU onto its multi-pass f32 path and measured ~2x slower on
+the SD 4096-token head-dim-40 shape (BENCH_NOTES "Round-3 SD roofline").
+D <= 512 (multi-lane-tile blocks; block sizes are capped harder for
+D > 128 so the q/k/v/acc VMEM buffers still fit — the VAE mid-block's
+single-head D=512 attention is the motivating shape); T/S are padded to
+block multiples with masking.
 """
 
 from __future__ import annotations
@@ -33,6 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["flash_attention", "resolve_use_flash"]
 
 _NEG_INF = -1e30
+
+
+def _f32_dots() -> bool:
+    """Read the A/B escape hatch once per trace (see module docstring)."""
+    import os
+    return os.environ.get("ADT_FLASH_F32_DOTS") == "1"
 
 
 def resolve_use_flash(use_flash, tq: int, ts: int, head_dim: int, *,
@@ -63,7 +75,7 @@ def resolve_use_flash(use_flash, tq: int, ts: int, head_dim: int, *,
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i, *,
                  scale: float, s_valid: int, block_kv: int,
-                 want_lse: bool):
+                 want_lse: bool, f32_dots: bool):
     """Grid (BH, T_blocks, S_blocks); S innermost. Scratch carries the
     online-softmax state across S blocks. When want_lse, also emits the
     per-row logsumexp (the FlashAttention-2 residual for the backward)."""
@@ -76,9 +88,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i, *,
         m_i[...] = jnp.full_like(m_i, _NEG_INF)
         l_i[...] = jnp.zeros_like(l_i)
 
-    q = q_ref[0].astype(jnp.float32) * scale            # [bq, d]
-    k = k_ref[0].astype(jnp.float32)                    # [bk, d]
-    v = v_ref[0].astype(jnp.float32)
+    dot_t = jnp.float32 if f32_dots else q_ref.dtype
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(dot_t)  # [bq, d]
+    k = k_ref[0].astype(dot_t)                                # [bk, d]
+    v = v_ref[0].astype(dot_t)
     logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     bq = logits.shape[0]
@@ -92,7 +105,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i, *,
     m_i[...] = m_new
     l_i[...] = l_prev * alpha + p.sum(axis=1, keepdims=True)
     acc[...] = acc[...] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p.astype(dot_t), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     @pl.when(j == nk - 1)
     def _():
@@ -103,7 +117,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i, *,
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               dq_acc, *, scale: float, s_valid: int, block_kv: int):
+               dq_acc, *, scale: float, s_valid: int, block_kv: int,
+               f32_dots: bool):
     """dq = (p * (dO V^T - delta)) K * scale. Grid (BH, T_blk, S_blk),
     S innermost; dq accumulates in VMEM scratch across S blocks."""
     j = pl.program_id(2)
@@ -113,14 +128,15 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     def _():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0].astype(jnp.float32)                    # [bq, d]
-    k = k_ref[0].astype(jnp.float32)                    # [bk, d]
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)                  # [bq, d]
+    dot_t = jnp.float32 if f32_dots else q_ref.dtype
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(dot_t)  # [bq, d]
+    k = k_ref[0].astype(dot_t)                          # [bk, d]
+    v = v_ref[0].astype(dot_t)
+    do = do_ref[0].astype(dot_t)                        # [bq, d]
     lse = lse_ref[0]                                    # [bq, 1]
     delta = delta_ref[0]                                # [bq, 1]
 
-    logits = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+    logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     p = jnp.exp(logits - lse)                           # [bq, bk]
     bq = p.shape[0]
@@ -130,7 +146,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta)
-    dq_acc[...] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+    dq_acc[...] += jax.lax.dot_general(ds.astype(dot_t), k,
+                                       (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
 
     @pl.when(j == nk - 1)
@@ -141,7 +158,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc, *,
                 scale: float, s_valid: int, t_valid: int,
-                block_q: int, block_kv: int):
+                block_q: int, block_kv: int, f32_dots: bool):
     """dk/dv for one KV block, accumulating over T blocks (innermost grid
     axis). p^T is formed directly as exp(scale K Q^T - lse^T)."""
     j = pl.program_id(2)
@@ -153,17 +170,18 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    k = k_ref[0].astype(jnp.float32)                    # [bk, d]
-    v = v_ref[0].astype(jnp.float32)
-    q = q_ref[0].astype(jnp.float32)                    # [bq, d]
-    do = do_ref[0].astype(jnp.float32)
+    dot_t = jnp.float32 if f32_dots else k_ref.dtype
+    k = (k_ref[0].astype(jnp.float32) * scale).astype(dot_t)  # [bk, d]
+    v = v_ref[0].astype(dot_t)
+    q = q_ref[0].astype(dot_t)                          # [bq, d]
+    do = do_ref[0].astype(dot_t)
     # lse/delta refs hold the full [1, 1, t_pad] row (resident across the T
     # loop); slice this T block as a [1, bq] lane-major row — no transpose
     start = pl.multiple_of(j * block_q, block_q)
     lse = lse_ref[0, :, pl.ds(start, block_q)]          # [1, bq]
     delta = delta_ref[0, :, pl.ds(start, block_q)]
 
-    logits_t = jax.lax.dot_general(k * scale, q, (((1,), (1,)), ((), ())),
+    logits_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
     p_t = jnp.exp(logits_t - lse)                       # [bk,bq] - [1,bq]
     bk = p_t.shape[0]
@@ -173,12 +191,14 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
     row = jax.lax.broadcasted_iota(jnp.int32, (bk, block_q), 0)
     p_t = jnp.where(row + i * block_kv < s_valid, p_t, 0.0)
 
-    dv_acc[...] += jax.lax.dot_general(p_t, do, (((1,), (0,)), ((), ())),
+    dv_acc[...] += jax.lax.dot_general(p_t.astype(dot_t), do,
+                                       (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
     dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     ds_t = p_t * (dp_t - delta)
-    dk_acc[...] += jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
+    dk_acc[...] += jax.lax.dot_general(ds_t.astype(dot_t), q,
+                                       (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
 
     @pl.when(j == nt - 1)
@@ -248,7 +268,7 @@ def _flash_bwd(block_q, block_kv, interpret, res, g):
     grid_dq = (bh, t_pad // block_q, s_pad // block_kv)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, s_valid=s,
-                          block_kv=block_kv),
+                          block_kv=block_kv, f32_dots=_f32_dots()),
         grid=grid_dq,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, tq, j: (i, tq, 0),
@@ -274,7 +294,8 @@ def _flash_bwd(block_q, block_kv, interpret, res, g):
     grid_dkv = (bh, s_pad // block_kv, t_pad // block_q)
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, s_valid=s, t_valid=t,
-                          block_q=block_q, block_kv=block_kv),
+                          block_q=block_q, block_kv=block_kv,
+                          f32_dots=_f32_dots()),
         grid=grid_dkv,
         in_specs=[
             pl.BlockSpec((1, block_kv, d), lambda i, sb, j: (i, sb, 0),
@@ -348,7 +369,8 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     out, lse = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, s_valid=s,
-                          block_kv=block_kv, want_lse=True),
+                          block_kv=block_kv, want_lse=True,
+                          f32_dots=_f32_dots()),
         grid=(b * h, t_pad // block_q, s_pad // block_kv),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, tq, j: (i, tq, 0),
