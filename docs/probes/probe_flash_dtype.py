@@ -104,7 +104,60 @@ def bench(shape, f32_dots, backward):
     return flops / net / PEAK, net
 
 
+def bench_einsum(shape, backward):
+    """The models/attention.py einsum path at the same shape."""
+    b, h, t, s, dh = shape
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (b, h, t, dh), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, h, s, dh), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, h, s, dh), jnp.bfloat16)
+    scale = dh ** -0.5
+
+    def attn(q_, k_, v_):
+        logits = jnp.einsum("bhtd,bhsd->bhts", q_, k_,
+                            preferred_element_type=jnp.float32) * scale
+        w = jax.nn.softmax(logits, -1).astype(v_.dtype)
+        return jnp.einsum("bhts,bhsd->bhtd", w, v_,
+                          preferred_element_type=jnp.float32).astype(v_.dtype)
+
+    flops = 4.0 * b * h * t * s * dh
+    if backward:
+        flops *= 3.5
+
+        def body(i, y):
+            g = jax.grad(lambda q_, k_, v_: attn(q_, k_, v_).astype(
+                jnp.float32).sum(), argnums=(0, 1, 2))(y, k, v)
+            return (g[0] + g[1] + g[2]).astype(y.dtype) if t == s \
+                else g[0].astype(y.dtype)
+    else:
+        def body(i, y):
+            return attn(y, k, v)
+
+    net = chain_slope(body, q)
+    return flops / net / PEAK, net
+
+
+def crossover():
+    """flash (input-dtype dots) vs einsum at sub-1024 token counts, to
+    re-tune the ADT_FLASH_MIN_TOKENS auto gate (set with the f32-dot
+    kernel; the crossover may have moved)."""
+    os.environ["ADT_FLASH_F32_DOTS"] = "0"
+    for t in (256, 512, 1024):
+        shape = (32, 6, t, t, 64)        # ADM-64 attention ladder
+        for backward in (False, True):
+            tag = "fwd+bwd" if backward else "fwd    "
+            _, net_f = bench(shape, False, backward)
+            _, net_e = bench_einsum(shape, backward)
+            win = "flash" if net_f < net_e else "einsum"
+            print(f"  T={t:5d} {tag} flash {net_f*1e3:7.2f} ms  "
+                  f"einsum {net_e*1e3:7.2f} ms  -> {win}")
+
+
 def main():
+    if "--crossover" in sys.argv:
+        print(f"backend: {jax.default_backend()}")
+        crossover()
+        return
     print(f"backend: {jax.default_backend()}")
     for name, shape in SHAPES.items():
         for backward in ([False, True] if name == "adm_res32" else [False]):
