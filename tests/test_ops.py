@@ -41,6 +41,33 @@ class TestFlashAttention:
                                    np.asarray(want, np.float32),
                                    atol=3e-2, rtol=3e-2)
 
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_f32_dots_escape_hatch_matches_einsum(self, monkeypatch, dtype):
+        """ADT_FLASH_F32_DOTS=1 restores the pre-round-3 f32 operand
+        upcasts (the A/B variant kept for chip probes); it must stay a
+        pure numerics-equivalent of the default input-dtype-dot path —
+        both within the einsum reference's tolerance."""
+        monkeypatch.setenv("ADT_FLASH_F32_DOTS", "1")
+        rng = np.random.RandomState(7)
+        q = jnp.asarray(rng.randn(1, 2, 128, 64), dtype)
+        k = jnp.asarray(rng.randn(1, 2, 128, 64), dtype)
+        v = jnp.asarray(rng.randn(1, 2, 128, 64), dtype)
+        want = reference_attention(q, k, v)
+        got = flash_attention(q, k, v, block_q=64, block_kv=64, interpret=True)
+        # backward too: the dq/dkv kernels read the same flag
+        gq = jax.grad(lambda q_: flash_attention(
+            q_, k, v, block_q=64, block_kv=64, interpret=True)
+            .astype(jnp.float32).sum())(q)
+        gq_ref = jax.grad(lambda q_: reference_attention(q_, k, v)
+                          .astype(jnp.float32).sum())(q)
+        tol = 3e-2 if dtype == jnp.bfloat16 else 2e-5
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   atol=tol, rtol=tol)
+        np.testing.assert_allclose(np.asarray(gq, np.float32),
+                                   np.asarray(gq_ref, np.float32),
+                                   atol=tol, rtol=tol)
+
     def test_wide_head_dim_512(self):
         """The VAE mid-block shape: single head, D=512 (> one lane tile).
         Forward and backward must both match the einsum reference."""
