@@ -458,7 +458,11 @@ def cmd_search_sd(args) -> int:
         checkpoint_path=(f"{args.save_dir}/ea_state.json"
                          if args.save_dir else None))
     _maybe_resume_ea(searcher, args)
+    import time
+    t0 = time.time()
     best, fid = searcher.search()
+    # reference parity: search_ea.py:911 logs the same line
+    logger.log(f"total searching time = {(time.time() - t0) / 3600:.2f} hours")
     print(json.dumps({"best": list(best), "fid": fid}))
     return 0
 

@@ -5,7 +5,15 @@
 # Workspace: copy this + make_sd_ckpts.py to /tmp/sd_search_hours and run
 # make_sd_ckpts.py there first (it writes next to itself).
 cd /tmp/sd_search_hours
-exec adt search-sd \
+# invoke the `adt` console script through the package path (the package
+# is not pip-installed in this environment)
+# NB: append, don't clobber — PYTHONPATH carries the axon TPU plugin
+# site dir in this environment
+exec env PYTHONPATH="/root/repo:${PYTHONPATH:-}" python -c "
+import sys
+from autodiffusion_tpu.cli.main import main
+sys.exit(main())
+" search-sd \
   --ckpt sd_ckpt \
   --clip_vocab vocab.json --clip_merges merges.txt \
   --captions captions.json --num_prompts 128 \

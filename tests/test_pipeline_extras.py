@@ -808,3 +808,70 @@ class TestSearchCLIEndToEnd:
         result2 = jsonlib.loads(out2.strip().splitlines()[-1])
         assert result2["best"] == result["best"]
         assert abs(result2["fid"] - result["fid"]) < 1e-6
+
+    def test_search_sd_cli_end_to_end(self, tiny_sd, tmp_path, capsys,
+                                      monkeypatch):
+        """The FULL `adt search-sd` CLI offline on a monkeypatched tiny
+        stack: captions JSON -> tokenizer -> context bank -> EA over the
+        discrete PLMS space -> result JSON + ea_state.json, and the
+        reference's `total searching time = X hours` line
+        (sd/scripts/search_ea.py:908-911) — the on-chip runs grep for it."""
+        import json as jsonlib
+
+        import torch
+
+        import autodiffusion_tpu.cli.main as m
+        from autodiffusion_tpu.fid import FIDInceptionV3, FIDStats
+        from autodiffusion_tpu.models import CLIPTextConfig, CLIPTextEncoder
+        from test_inception_loader import synthesize_torch_state
+
+        unet, uparams, vae, vparams = tiny_sd
+        cfg = CLIPTextConfig(vocab_size=50, width=16, layers=1, heads=2,
+                             max_length=5)
+        clip = CLIPTextEncoder(cfg)
+        cparams = clip.init(jax.random.key(3), jnp.zeros((1, 5), jnp.int32))
+
+        def tok(texts):
+            return np.zeros((len(texts), 5), np.int32)
+
+        monkeypatch.setattr(
+            m, "_sd_stack",
+            lambda args: (unet, uparams, vae, vparams, clip, cparams, tok))
+
+        caps = [{"image_id": i, "caption": f"tiny caption {i}"}
+                for i in range(4)]
+        cpath = str(tmp_path / "captions.json")
+        with open(cpath, "w") as f:
+            jsonlib.dump(caps, f)
+
+        shapes = jax.eval_shape(lambda: FIDInceptionV3().init(
+            jax.random.key(1), jnp.zeros((1, 299, 299, 3))))
+        sd = synthesize_torch_state(
+            jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype),
+                                   shapes), np.random.RandomState(0))
+        ipath = str(tmp_path / "pt_inception.pth")
+        torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ipath)
+
+        rngs = np.random.RandomState(2)
+        A = rngs.randn(2048, 2200) / 46.0
+        ref = FIDStats(rngs.randn(2048), A @ A.T)
+        rpath = str(tmp_path / "ref_stats.npz")
+        ref.save(rpath)
+
+        save_dir = str(tmp_path / "sdlogs")
+        rc = m.main(["search-sd", "--ckpt", "ignored",
+                     "--captions", cpath, "--num_prompts", "4",
+                     "--inception_path", ipath, "--ref_stats", rpath,
+                     "--sampler", "plms", "--H", "16", "--W", "16",
+                     "--time_step", "2", "--num_samples", "4",
+                     "--batch_size", "2", "--candidate_chunk", "2",
+                     "--population_num", "4", "--select_num", "2",
+                     "--mutation_num", "1", "--crossover_num", "1",
+                     "--max_epochs", "1", "--use_bf16", "False",
+                     "--save_dir", save_dir])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "total searching time = " in out
+        result = jsonlib.loads(out.strip().splitlines()[-1])
+        assert len(result["best"]) == 2 and np.isfinite(result["fid"])
+        assert (tmp_path / "sdlogs" / "ea_state.json").exists()
