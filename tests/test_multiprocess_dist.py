@@ -17,6 +17,21 @@ import pytest
 
 pytestmark = pytest.mark.slow
 
+
+def _worker_env():
+    """Worker subprocess env: drop the 8-virtual-device XLA_FLAGS and put
+    the repo root on PYTHONPATH — `python /tmp/.../worker.py` prepends the
+    SCRIPT's directory to sys.path, not our cwd, so without this the
+    workers only import autodiffusion_tpu when it happens to be
+    pip-installed in the interpreter."""
+    import autodiffusion_tpu
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(autodiffusion_tpu.__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = repo_root + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    return env
+
 WORKER = textwrap.dedent("""
     import os, sys
     import numpy as np
@@ -59,7 +74,7 @@ class TestTwoProcessDistributed:
 
         script = tmp_path / "worker.py"
         script.write_text(WORKER)
-        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env = _worker_env()
         procs = [subprocess.Popen([sys.executable, str(script), str(i), addr],
                                   stdout=subprocess.PIPE,
                                   stderr=subprocess.STDOUT, text=True,
@@ -194,7 +209,7 @@ class TestTwoProcessShardedFitness:
 
         script = tmp_path / "fitness_worker.py"
         script.write_text(FITNESS_WORKER)
-        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env = _worker_env()
         procs = [subprocess.Popen([sys.executable, str(script), str(i), addr],
                                   stdout=subprocess.PIPE,
                                   stderr=subprocess.STDOUT, text=True,
@@ -261,7 +276,7 @@ class TestTwoProcessDataParallelTrain:
 
         script = tmp_path / "train_worker.py"
         script.write_text(TRAIN_WORKER)
-        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env = _worker_env()
         procs = [subprocess.Popen([sys.executable, str(script), str(i), addr],
                                   stdout=subprocess.PIPE,
                                   stderr=subprocess.STDOUT, text=True,
