@@ -42,7 +42,11 @@ _NEG_INF = -1e30
 
 
 def _f32_dots() -> bool:
-    """Read the A/B escape hatch once per trace (see module docstring)."""
+    """Read the A/B escape hatch (see module docstring). Resolved OUTSIDE
+    the jit boundary by flash_attention and threaded through as a static
+    argument, so flipping the env var mid-process takes effect on the next
+    call (it participates in the jit cache key) and the forward/backward
+    always agree within one grad computation."""
     import os
     return os.environ.get("ADT_FLASH_F32_DOTS") == "1"
 
@@ -89,11 +93,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i, *,
         l_i[...] = jnp.zeros_like(l_i)
 
     dot_t = jnp.float32 if f32_dots else q_ref.dtype
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(dot_t)  # [bq, d]
+    q = q_ref[0].astype(dot_t)                                # [bq, d]
     k = k_ref[0].astype(dot_t)                                # [bk, d]
     v = v_ref[0].astype(dot_t)
+    # scale applied to the f32-accumulated logits AFTER the dot — the
+    # einsum path's exact contract (models/attention.py scales the f32
+    # einsum result), so flash vs einsum agree bit-for-bit in the scaling
     logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32) * scale
     bq = logits.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1)
     logits = jnp.where(col + j * block_kv < s_valid, logits, _NEG_INF)
@@ -129,15 +136,16 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
     dot_t = jnp.float32 if f32_dots else q_ref.dtype
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(dot_t)  # [bq, d]
+    q = q_ref[0].astype(dot_t)                          # [bq, d]
     k = k_ref[0].astype(dot_t)                          # [bk, d]
     v = v_ref[0].astype(dot_t)
     do = do_ref[0].astype(dot_t)                        # [bq, d]
     lse = lse_ref[0]                                    # [bq, 1]
     delta = delta_ref[0]                                # [bq, 1]
 
+    # scale the f32 logits after the dot, matching the forward exactly
     logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32) * scale
     p = jnp.exp(logits - lse)                           # [bq, bk]
     bq = p.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1)
@@ -171,7 +179,7 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
     dot_t = jnp.float32 if f32_dots else k_ref.dtype
-    k = (k_ref[0].astype(jnp.float32) * scale).astype(dot_t)  # [bk, d]
+    k = k_ref[0].astype(dot_t)                          # [bk, d]
     v = v_ref[0].astype(dot_t)
     q = q_ref[0].astype(dot_t)                          # [bq, d]
     do = do_ref[0].astype(dot_t)
@@ -181,8 +189,10 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
     lse = lse_ref[0, :, pl.ds(start, block_q)]          # [1, bq]
     delta = delta_ref[0, :, pl.ds(start, block_q)]
 
+    # p^T re-formed from f32 logits scaled AFTER the dot — identical
+    # rounding to the forward's p (no fold-into-operand discrepancy)
     logits_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32) * scale
     p_t = jnp.exp(logits_t - lse)                       # [bk,bq] - [1,bq]
     bk = p_t.shape[0]
     # zero padded t columns and padded s rows
@@ -217,17 +227,17 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, block_q, block_kv, interpret):
-    return _flash_forward(q, k, v, block_q, block_kv, interpret)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, block_q, block_kv, interpret, f32_dots=False):
+    return _flash_forward(q, k, v, block_q, block_kv, interpret, f32_dots)[0]
 
 
-def _flash_fwd(q, k, v, block_q, block_kv, interpret):
-    out, lse = _flash_forward(q, k, v, block_q, block_kv, interpret)
+def _flash_fwd(q, k, v, block_q, block_kv, interpret, f32_dots):
+    out, lse = _flash_forward(q, k, v, block_q, block_kv, interpret, f32_dots)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(block_q, block_kv, interpret, res, g):
+def _flash_bwd(block_q, block_kv, interpret, f32_dots, res, g):
     """Pallas FlashAttention-2 backward: the [T, S] probability matrix is
     re-formed blockwise from the saved logsumexp, never in HBM — replacing
     the earlier full einsum-recompute fallback that materialized f32
@@ -268,7 +278,7 @@ def _flash_bwd(block_q, block_kv, interpret, res, g):
     grid_dq = (bh, t_pad // block_q, s_pad // block_kv)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, s_valid=s,
-                          block_kv=block_kv, f32_dots=_f32_dots()),
+                          block_kv=block_kv, f32_dots=f32_dots),
         grid=grid_dq,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, tq, j: (i, tq, 0),
@@ -295,7 +305,7 @@ def _flash_bwd(block_q, block_kv, interpret, res, g):
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, s_valid=s, t_valid=t,
                           block_q=block_q, block_kv=block_kv,
-                          f32_dots=_f32_dots()),
+                          f32_dots=f32_dots),
         grid=grid_dkv,
         in_specs=[
             pl.BlockSpec((1, block_kv, d), lambda i, sb, j: (i, sb, 0),
@@ -332,16 +342,24 @@ def _flash_bwd(block_q, block_kv, interpret, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
+_flash_jit = jax.jit(_flash, static_argnums=(3, 4, 5, 6))
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     *, block_q: int = 1024, block_kv: int = 2048,
                     interpret: bool = False) -> jnp.ndarray:
-    """softmax(q k^T / sqrt(D)) v for q [B,H,T,D], k/v [B,H,S,D]."""
-    return _flash(q, k, v, block_q, block_kv, interpret)
+    """softmax(q k^T / sqrt(D)) v for q [B,H,T,D], k/v [B,H,S,D].
+
+    The ADT_FLASH_F32_DOTS escape hatch is resolved HERE (outside the jit)
+    and passed as a static argument, so it is part of the jit cache key —
+    flipping it mid-process affects the very next call, forward and
+    backward consistently."""
+    return _flash_jit(q, k, v, block_q, block_kv, interpret, _f32_dots())
 
 
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                   block_q: int, block_kv: int, interpret: bool):
+                   block_q: int, block_kv: int, interpret: bool,
+                   f32_dots: bool = False):
     """Returns (out [b,h,t,d], lse [b*h, t_pad]) — lse is the FA-2 residual
     consumed by _flash_bwd (discarded on the pure-forward path; its write
     traffic is t*4 bytes per row, negligible)."""
@@ -370,7 +388,7 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     out, lse = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, s_valid=s,
                           block_kv=block_kv, want_lse=True,
-                          f32_dots=_f32_dots()),
+                          f32_dots=f32_dots),
         grid=(b * h, t_pad // block_q, s_pad // block_kv),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, tq, j: (i, tq, 0),

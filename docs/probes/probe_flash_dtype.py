@@ -69,9 +69,8 @@ def chain_slope(body, x):
 
 
 def bench(shape, f32_dots, backward):
-    os.environ["ADT_FLASH_F32_DOTS"] = "1" if f32_dots else "0"
-    # import late so the module exists either way; the env is read at
-    # trace time, and every jit below is a fresh object (fresh trace)
+    # f32_dots is a static argument of _flash since the round-4 advisor
+    # fix (it participates in the jit cache key); pass it through directly
     from autodiffusion_tpu.ops.flash_attention import _flash
 
     b, h, t, s, dh = shape
@@ -89,7 +88,7 @@ def bench(shape, f32_dots, backward):
         flops *= 3.5
 
         def loss(q_, k_, v_):
-            return _flash(q_, k_, v_, 1024, 2048, False).astype(
+            return _flash(q_, k_, v_, 1024, 2048, False, f32_dots).astype(
                 jnp.float32).sum()
 
         def body(i, y):
@@ -98,7 +97,7 @@ def bench(shape, f32_dots, backward):
                 else g[0].astype(y.dtype)
     else:
         def body(i, y):
-            return _flash(y, k, v, 1024, 2048, False)
+            return _flash(y, k, v, 1024, 2048, False, f32_dots)
 
     net = chain_slope(body, q)
     return flops / net / PEAK, net

@@ -4,7 +4,8 @@
 # (published: pop 50 x 10 x 1000-2000, batch 6 — sd/search_plms.sh).
 # Workspace: copy this + make_sd_ckpts.py to /tmp/sd_search_hours and run
 # make_sd_ckpts.py there first (it writes next to itself).
-cd /tmp/sd_search_hours
+set -euo pipefail
+cd /tmp/sd_search_hours || exit 1
 # invoke the `adt` console script through the package path (the package
 # is not pip-installed in this environment)
 # NB: append, don't clobber — PYTHONPATH carries the axon TPU plugin

@@ -46,7 +46,11 @@ class TestFlashAttention:
         """ADT_FLASH_F32_DOTS=1 restores the pre-round-3 f32 operand
         upcasts (the A/B variant kept for chip probes); it must stay a
         pure numerics-equivalent of the default input-dtype-dot path —
-        both within the einsum reference's tolerance."""
+        both within the einsum reference's tolerance. The flag is a
+        static jit argument since round 4 (advisor fix), so the
+        monkeypatched value genuinely re-traces here even though
+        test_bf16_inputs compiled the same tensor signature, and the
+        f32-dots trace cannot leak into later tests."""
         monkeypatch.setenv("ADT_FLASH_F32_DOTS", "1")
         rng = np.random.RandomState(7)
         q = jnp.asarray(rng.randn(1, 2, 128, 64), dtype)
