@@ -87,6 +87,50 @@ def _search_defaults():
     )
 
 
+def _derive_low_res(it, scale: int):
+    """Derive SR conditioning by exact area downsampling of each batch —
+    upstream guided-diffusion's load_superres_data
+    F.interpolate(mode="area"), which is a block mean at integer scale."""
+    for b in it:
+        x = b["x"]
+        n, h, w, c = x.shape
+        b = dict(b)
+        b["low_res"] = x.reshape(n, h // scale, scale,
+                                 w // scale, scale, c).mean(axis=(2, 4))
+        yield b
+
+
+def _train_data_iter(data_dir: str, *, batch_size: int, image_size: int,
+                     class_cond: bool, seed: int = 0,
+                     lq_dir=None, small_size=None):
+    """Training batches from an image FOLDER (PIL pipeline, images.py
+    load_data — image_datasets.py:16-92 parity) or from a uint8 [N,H,W,C]
+    ``.npy`` file served by the C++ mmap + thread-pool prefetch loader
+    (native/adt_data.cpp) — the bulk-throughput path; at small image sizes
+    the PIL decode loop is slower than the train step itself. Labels for a
+    class-conditional run come from a sibling ``<stem>_labels.npy``."""
+    from ..data import load_data
+
+    if data_dir.endswith(".npy"):
+        if lq_dir:
+            raise ValueError("--lq_dir pairs need an image folder "
+                             "--data_dir (the npy bulk loader has no "
+                             "paired-file mode; omit --lq_dir to derive "
+                             "low_res by area downsampling)")
+        from ..data.native_loader import NativeNpyLoader
+        labels = data_dir[:-len(".npy")] + "_labels.npy"
+        if class_cond and not os.path.exists(labels):
+            raise ValueError(
+                f"class_cond training from an npy needs labels at {labels} "
+                "(one int per image)")
+        return NativeNpyLoader(data_dir, labels if class_cond else None,
+                               batch_size=batch_size, crop=image_size,
+                               seed=seed)
+    return load_data(data_dir=data_dir, batch_size=batch_size,
+                     image_size=image_size, class_cond=class_cond, seed=seed,
+                     lq_dir=lq_dir, small_size=small_size)
+
+
 def _maybe_resume_ea(searcher, args) -> None:
     """Resume a crashed/interrupted EA from save_dir/ea_state.json.
 
@@ -943,7 +987,6 @@ def cmd_train(args) -> int:
     train_util.py TrainLoop, incl. the OFA respacing curricula)."""
     import jax
     import jax.numpy as jnp
-    from ..data import load_data
     from ..models import ModelConfig, create_model, create_tables
     from ..models.convert import convert_unet, load_torch_state_dict
     from ..parallel import data_sharder, make_mesh, replicate, shard_batch
@@ -964,7 +1007,22 @@ def cmd_train(args) -> int:
         dropout=args.dropout, resblock_updown=args.resblock_updown,
         use_scale_shift_norm=args.use_scale_shift_norm,
         use_new_attention_order=args.use_new_attention_order)
-    model = create_model(cfg)
+    sr_mode = args.sr_small_size > 0
+    if sr_mode:
+        # SR-pair training (scripts/super_res_train.py): a SuperResModel at
+        # image_size conditioned on sr_small_size inputs. Pairs come from
+        # --lq_dir (the fork's paired-lq mode) or, absent one, low_res is
+        # derived per batch by exact area downsampling (upstream
+        # guided-diffusion's F.interpolate(mode="area") semantics).
+        from ..models import create_sr_model
+        if cfg.image_size % args.sr_small_size:
+            raise ValueError(
+                f"--image_size {cfg.image_size} must be a multiple of "
+                f"--sr_small_size {args.sr_small_size}")
+        model = create_sr_model(cfg, large_size=cfg.image_size,
+                                small_size=args.sr_small_size)
+    else:
+        model = create_model(cfg)
     # --resume_checkpoint accepts a torch .pt (one-time conversion) OR an
     # own-format model*.msgpack file / checkpoint directory, resuming
     # model+EMA+opt+step like the reference (train_util.py:124-165)
@@ -972,10 +1030,30 @@ def cmd_train(args) -> int:
         args.resume_checkpoint.endswith(".msgpack")
         or os.path.isdir(args.resume_checkpoint))
     if args.resume_checkpoint and not resume_own:
-        params = convert_unet(load_torch_state_dict(args.resume_checkpoint), model)
+        sd = load_torch_state_dict(args.resume_checkpoint)
+        if sr_mode:
+            # super_res_train.py:38-49: a base 3-channel model seeds the
+            # 6-channel SR net with zero-padded input conv; a 6-channel
+            # output head is split down to 3 when not learn_sigma
+            import torch
+            w = sd.get("input_blocks.0.0.weight")
+            if w is not None and w.shape[1] == 3:
+                sd["input_blocks.0.0.weight"] = torch.cat(
+                    [w, torch.zeros_like(w)], dim=1)
+                logger.log("input shape change: "
+                           f"{tuple(sd['input_blocks.0.0.weight'].shape)}")
+            if not cfg.learn_sigma and sd["out.2.weight"].shape[0] == 6:
+                sd["out.2.weight"] = sd["out.2.weight"][:3]
+                sd["out.2.bias"] = sd["out.2.bias"][:3]
+            inner = convert_unet(sd, model.unet)
+            params = {"params": {"unet": inner["params"]}}
+        else:
+            params = convert_unet(sd, model)
     else:
         x1 = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
         a = [x1, jnp.zeros((1,))]
+        if sr_mode:
+            a.append(jnp.zeros((1, args.sr_small_size, args.sr_small_size, 3)))
         if cfg.class_cond:
             a.append(jnp.zeros((1,), jnp.int32))
         params = model.init(jax.random.key(args.seed), *a)
@@ -1009,9 +1087,15 @@ def cmd_train(args) -> int:
                                                 cfg.diffusion_steps)
         # the sandwich accumulates grads over four schedules per update
         grad_fn = jax.jit(step_raw.grads_and_metrics)
-    data = map(lambda b: shard_batch(mesh, b),
-               load_data(data_dir=args.data_dir, batch_size=args.batch_size,
-                         image_size=cfg.image_size, class_cond=cfg.class_cond))
+    data_iter = _train_data_iter(
+        args.data_dir, batch_size=args.batch_size,
+        image_size=cfg.image_size, class_cond=cfg.class_cond,
+        seed=args.seed, lq_dir=(args.lq_dir or None) if sr_mode else None,
+        small_size=args.sr_small_size if sr_mode else None)
+    if sr_mode and not args.lq_dir:
+        data_iter = _derive_low_res(data_iter,
+                                    cfg.image_size // args.sr_small_size)
+    data = map(lambda b: shard_batch(mesh, b), data_iter)
     loop = TrainLoop(
         state=state, step_fn=step, grad_fn=grad_fn, data=data,
         schedule_sampler=create_named_schedule_sampler(
@@ -1217,7 +1301,11 @@ def main(argv=None) -> int:
         num_head_channels=64, attention_resolutions="32,16,8",
         class_cond=True, learn_sigma=True, noise_schedule="cosine",
         dropout=0.1, resblock_updown=True, use_scale_shift_norm=True,
-        use_new_attention_order=True, use_bf16=True, channel_mult=""))
+        use_new_attention_order=True, use_bf16=True, channel_mult="",
+        # SR-pair mode (scripts/super_res_train.py): train SuperResModel at
+        # image_size on (low, high) pairs; low_res from --lq_dir partner
+        # files or derived by area downsampling when --lq_dir is empty
+        sr_small_size=0, lq_dir=""))
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("train-classifier",

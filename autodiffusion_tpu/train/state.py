@@ -78,17 +78,24 @@ def make_train_step(model_apply: Callable, *,
         (state, metrics dict incl. per-example losses for the loss-aware
          t-sampler)
 
-    batch: {"x": [B,H,W,C], optional "y": [B]}; B = microbatches * micro.
+    batch: {"x": [B,H,W,C], optional "y": [B], optional "low_res":
+    [B,h,w,C]}; B = microbatches * micro. A "low_res" key trains a
+    SuperResModel on (low, high) pairs — the model signature becomes
+    (x_t, t, low_res[, y]), matching SuperResModel.__call__ (the
+    reference's super_res_train.py:91-101 load_superres_data path).
     Gradients are averaged over microbatches by a lax.scan (the no_sync
     accumulation of train_util.py:213-217); data-parallel reduction is
     implicit in jit once the batch carries a 'data' sharding.
     """
 
-    def loss_fn(params, tables, x, y, t, w, rng):
+    def loss_fn(params, tables, x, y, low_res, t, w, rng):
         def model_fn(x_t, t_orig):
+            a = [x_t, t_orig]
+            if low_res is not None:
+                a.append(low_res)
             if class_cond:
-                return model_apply(params, x_t, t_orig, y)
-            return model_apply(params, x_t, t_orig)
+                a.append(y)
+            return model_apply(params, *a)
 
         terms = training_losses(tables, model_fn, x, t, rng,
                                 mean_type=mean_type, var_type=var_type,
@@ -102,8 +109,11 @@ def make_train_step(model_apply: Callable, *,
                           t: jnp.ndarray, loss_weights: jnp.ndarray, rng):
         x = batch["x"]
         y = batch.get("y")
+        low_res = batch.get("low_res")
         if data_sharder is not None:
             x = data_sharder(x)
+            if low_res is not None:
+                low_res = data_sharder(low_res)
         b = x.shape[0]
         if b % microbatches:
             raise ValueError(
@@ -116,18 +126,19 @@ def make_train_step(model_apply: Callable, *,
         def resh(a):
             return None if a is None else a.reshape((microbatches, micro) + a.shape[1:])
 
-        xs = (resh(x), resh(y), resh(t), resh(loss_weights),
+        xs = (resh(x), resh(y), resh(low_res), resh(t), resh(loss_weights),
               jax.random.split(rng, microbatches))
 
         def micro_step(carry, inp):
-            xi, yi, ti, wi, ri = inp
-            (loss, terms), grads = grad_fn(params, tables, xi, yi, ti, wi, ri)
+            xi, yi, li, ti, wi, ri = inp
+            (loss, terms), grads = grad_fn(params, tables, xi, yi, li, ti,
+                                           wi, ri)
             acc = jax.tree_util.tree_map(jnp.add, carry, grads)
             return acc, (loss, terms)
 
         zero = jax.tree_util.tree_map(jnp.zeros_like, params)
         if microbatches == 1:
-            (loss, terms), grads = grad_fn(params, tables, x, y, t,
+            (loss, terms), grads = grad_fn(params, tables, x, y, low_res, t,
                                            loss_weights, rng)
             losses, all_terms = loss[None], jax.tree_util.tree_map(
                 lambda a: a[None], terms)

@@ -102,6 +102,10 @@ def main():
     for i, im in enumerate(train):
         Image.fromarray(im).save(os.path.join(train_dir, f"img_{i:06d}.png"))
     print(f"wrote {args.n_train} train pngs -> {train_dir}", flush=True)
+    # same images as a bulk npy for the native (C++ mmap+prefetch) loader —
+    # `adt train --data_dir .../train_images.npy`
+    np.save(os.path.join(args.out, "train_images.npy"), train)
+    print("wrote train_images.npy", flush=True)
 
     ref = gen_images(args.n_ref, seed=987654)  # held out from training
     np.savez(os.path.join(args.out, "ref_images.npz"), arr_0=ref)
