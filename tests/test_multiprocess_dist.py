@@ -259,6 +259,129 @@ class TestTwoProcessShardedFitness:
         np.testing.assert_allclose(fids[0], plain, rtol=1e-4)
 
 
+SD_SETUP = textwrap.dedent("""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from autodiffusion_tpu.fid import FIDStats
+    from autodiffusion_tpu.models import (AutoencoderKL, CLIPTextConfig,
+                                          CLIPTextEncoder, SDUNetModel)
+    from autodiffusion_tpu.search.sd_pipelines import make_sd_fitness
+
+    def build_sd_fitness(**mesh_kwargs):
+        # the tiny latent stack: crossattn UNet + KL VAE + CLIP text tower
+        unet = SDUNetModel(in_channels=4, model_channels=32, out_channels=4,
+                           num_res_blocks=1, attention_ds=(1,),
+                           channel_mult=(1, 2), num_heads=2, context_dim=16)
+        z1 = jnp.zeros((1, 8, 8, 4))
+        uparams = unet.init(jax.random.key(3), z1, jnp.zeros((1,)),
+                            jnp.zeros((1, 5, 16)))
+        vae = AutoencoderKL(ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                            z_channels=4, embed_dim=4)
+        vparams = vae.init(jax.random.key(4), jnp.zeros((1, 16, 16, 3)))
+        clip = CLIPTextEncoder(CLIPTextConfig(vocab_size=64, width=16,
+                                              layers=1, heads=2,
+                                              max_length=5))
+        cparams = clip.init(jax.random.key(5), jnp.zeros((1, 5), jnp.int32))
+        toks = jnp.asarray(np.random.RandomState(6).randint(0, 64, (6, 5)),
+                           jnp.int32)
+        bank = clip.apply(cparams, toks)
+        uncond = clip.apply(cparams, jnp.zeros((1, 5), jnp.int32))[0]
+
+        def feature_fn(imgs):
+            f = imgs.astype(jnp.float32).reshape(imgs.shape[0], -1)
+            return {"pool3": f[:, :8]}
+
+        ref = FIDStats.from_features(
+            np.random.RandomState(2).randn(100, 8) * 40 + 127)
+        return make_sd_fitness(
+            unet=unet, unet_params=uparams, vae=vae, vae_params=vparams,
+            context_bank=bank, uncond_context=uncond,
+            feature_fn=feature_fn, ref_stats=ref, num_samples=8,
+            batch_size=8, sampler="plms", guidance_scale=7.5, latent_hw=8,
+            latent_ch=4, candidate_chunk=1, seed=3, feature_dim=8,
+            **mesh_kwargs)
+""")
+
+
+SD_FITNESS_WORKER = textwrap.dedent("""
+    import os, sys
+    import numpy as np
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1])
+    jax.distributed.initialize(coordinator_address=sys.argv[2],
+                               num_processes=2, process_id=pid,
+                               local_device_ids=[0])
+    import random as pyrandom
+
+    from autodiffusion_tpu.parallel import (data_sharder, global_replicate,
+                                            make_mesh)
+    from autodiffusion_tpu.parallel.dist import barrier
+    from autodiffusion_tpu.search import TimestepSpace
+""") + SD_SETUP + textwrap.dedent("""
+    mesh = make_mesh()     # data=2 over the two processes' devices
+    fitness = build_sd_fitness(
+        shard_fn=data_sharder(mesh),
+        place_fn=lambda tree: global_replicate(mesh, tree))
+    cand = TimestepSpace(1000, 4, rng=pyrandom.Random(1)).random()
+    with mesh:
+        fid = fitness([cand])[0]
+    print(f"RANK{pid}_SDFID={fid:.10f}")
+    barrier("sd_fitness_end")
+""")
+
+
+class TestTwoProcessShardedSDFitness:
+    def test_sd_fitness_chunk_across_processes_matches_unsharded(
+            self, tmp_path):
+        """The SD LATENT product path (CLIP context bank -> CFG PLMS ->
+        VAE decode -> features -> Frechet) GSPMD-sharded across a REAL
+        2-process mesh: both ranks compute the same FID and it equals the
+        unsharded single-process evaluation — the latent-search
+        counterpart of the ADM sharded-fitness test
+        (sd/scripts/search_ea.py:504-566)."""
+        port = socket.socket()
+        port.bind(("localhost", 0))
+        addr = f"localhost:{port.getsockname()[1]}"
+        port.close()
+
+        script = tmp_path / "sd_fitness_worker.py"
+        script.write_text(SD_FITNESS_WORKER)
+        env = _worker_env()
+        procs = [subprocess.Popen([sys.executable, str(script), str(i), addr],
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, text=True,
+                                  env=env)
+                 for i in range(2)]
+        outs = []
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+            assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+        fids = []
+        for out in outs:
+            for line in out.splitlines():
+                if "_SDFID=" in line:
+                    fids.append(float(line.split("=")[1]))
+        assert len(fids) == 2 and fids[0] == fids[1], fids
+
+        # unsharded single-process reference of the identical candidate
+        import random as pyrandom
+
+        import numpy as np
+
+        ns = {}
+        exec(SD_SETUP, ns)            # same tiny stack, no mesh args
+        from autodiffusion_tpu.search import TimestepSpace
+        fitness = ns["build_sd_fitness"]()
+        cand = TimestepSpace(1000, 4, rng=pyrandom.Random(1)).random()
+        plain = fitness([cand])[0]
+        np.testing.assert_allclose(fids[0], plain, rtol=1e-4)
+
+
 class TestTwoProcessDataParallelTrain:
     def test_train_step_matches_single_process(self, tmp_path):
         """One GSPMD-sharded train step over a REAL 2-process mesh: both
