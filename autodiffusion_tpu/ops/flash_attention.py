@@ -123,6 +123,96 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i, *,
             lse_ref[0] = m_i[...] + jnp.log(l_safe)
 
 
+def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i,
+                        *, scale: float, s_valid: int, block_kv: int,
+                        groups: int, head_dim: int, want_lse: bool,
+                        f32_dots: bool):
+    """Head-PACKED forward for small head dims (VERDICT r3 #3).
+
+    At D < 128 a plain [bq, D] x [D, bk] QK^T dot leaves 1 - D/128 of the
+    MXU's 128 contraction lanes idle (D=40: 69% idle; D=64: 50%), and the
+    PV dot wastes the same fraction of output lanes — the measured cause of
+    SD self-attention running at 19% of peak (BENCH_NOTES "Round-3
+    flash-attention dot dtype"). This kernel processes G = floor(128/D)
+    heads per grid step with the head axis blocked into the LANE dimension:
+
+      q_ref [1, bq, G*D]   G heads' features concatenated per token
+      k_ref/v_ref [1, bk, G*D]
+
+    and the per-head structure preserved by BLOCK-DIAGONAL expansion of the
+    KV operands (one shared mask; rows tiled G times, row-segment g keeps
+    only column-segment g):
+
+      QK^T: [bq, G*D] x [G*D, G*bk] -> logits [bq, G*bk]  (depth G*D<=128)
+      PV:   [bq, G*bk] x [G*bk, G*D] -> acc    [bq, G*D]  (N lanes G*D)
+
+    Cross-head terms hit structural zeros (exact in f32 accumulation), so
+    per-head numerics match the unpacked dot up to f32 summation order.
+    The online softmax is segmented per head: a static Python loop over G
+    operates on lane-tile-aligned [bq, bk] column segments; the softmax
+    state m/l is [bq, G]."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    G, D = groups, head_dim
+
+    @pl.when(j == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        m_i[...] = jnp.full_like(m_i, _NEG_INF)
+        l_i[...] = jnp.zeros_like(l_i)
+
+    dot_t = jnp.float32 if f32_dots else q_ref.dtype
+    q = q_ref[0].astype(dot_t)                           # [bq, G*D]
+    k = k_ref[0].astype(dot_t)                           # [bk, G*D]
+    v = v_ref[0].astype(dot_t)
+    bk = k.shape[0]
+    # shared block-diagonal mask: row-segment (of bk rows) g keeps only
+    # column-segment (of D cols) g
+    row_seg = jax.lax.broadcasted_iota(jnp.int32, (G * bk, G * D), 0) // bk
+    col_seg = jax.lax.broadcasted_iota(jnp.int32, (G * bk, G * D), 1) // D
+    bd = row_seg == col_seg
+    zero = jnp.zeros((), dot_t)
+    k_bd = jnp.where(bd, jnp.concatenate([k] * G, axis=0), zero)
+    v_bd = jnp.where(bd, jnp.concatenate([v] * G, axis=0), zero)
+
+    logits = jax.lax.dot_general(q, k_bd, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    bq = logits.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1)
+    kv_valid = col + j * block_kv < s_valid
+    m_prev, l_prev = m_i[...], l_i[...]                  # [bq, G]
+    ps, ms, ls = [], [], []
+    for g in range(G):
+        seg = jnp.where(kv_valid, logits[:, g * bk:(g + 1) * bk], _NEG_INF)
+        m_g = jnp.maximum(m_prev[:, g:g + 1], seg.max(axis=1, keepdims=True))
+        p_g = jnp.exp(seg - m_g)
+        ps.append(p_g)
+        ms.append(m_g)
+        ls.append(l_prev[:, g:g + 1] * jnp.exp(m_prev[:, g:g + 1] - m_g)
+                  + p_g.sum(axis=1, keepdims=True))
+    m_new = jnp.concatenate(ms, axis=1)                  # [bq, G]
+    alpha = jnp.exp(m_prev - m_new)
+    m_i[...] = m_new
+    l_i[...] = jnp.concatenate(ls, axis=1)
+    p = jnp.concatenate(ps, axis=1)                      # [bq, G*bk]
+    pv = jax.lax.dot_general(p.astype(dot_t), v_bd, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    alpha_b = jnp.concatenate(
+        [jnp.broadcast_to(alpha[:, g:g + 1], (bq, D)) for g in range(G)],
+        axis=1)                                          # [bq, G*D]
+    acc[...] = acc[...] * alpha_b + pv
+
+    @pl.when(j == nk - 1)
+    def _():
+        l_safe = jnp.maximum(l_i[...], 1e-30)
+        l_b = jnp.concatenate(
+            [jnp.broadcast_to(l_safe[:, g:g + 1], (bq, D)) for g in range(G)],
+            axis=1)
+        o_ref[0] = (acc[...] / l_b).astype(o_ref.dtype)
+        if want_lse:
+            lse_ref[0] = m_i[...] + jnp.log(l_safe)
+
+
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                dq_acc, *, scale: float, s_valid: int, block_kv: int,
                f32_dots: bool):
@@ -227,17 +317,42 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, block_q, block_kv, interpret, f32_dots=False):
-    return _flash_forward(q, k, v, block_q, block_kv, interpret, f32_dots)[0]
+def _pack_groups(h: int, d: int, pack_heads: bool) -> int:
+    """Heads per packed grid step: floor(128/D) capped by the head count
+    (padding a 1-head layer would only add work). 1 = use the unpacked
+    kernel. D > 64 packs nothing (G would be 1)."""
+    if not pack_heads or d > 64:
+        return 1
+    return max(1, min(128 // d, h))
 
 
-def _flash_fwd(q, k, v, block_q, block_kv, interpret, f32_dots):
-    out, lse = _flash_forward(q, k, v, block_q, block_kv, interpret, f32_dots)
+def _pack_layout(x: jnp.ndarray, G: int) -> jnp.ndarray:
+    """[B, H, T, D] -> [B*ceil(H/G), T, G*D]: G consecutive heads' features
+    concatenated per token (zero-padded heads when G does not divide H).
+    A bandwidth-only XLA transpose — one pass over the tensor, negligible
+    next to the attention itself."""
+    b, h, t, d = x.shape
+    hg = -(-h // G)
+    if hg * G != h:
+        x = jnp.pad(x, ((0, 0), (0, hg * G - h), (0, 0), (0, 0)))
+    x = x.reshape(b, hg, G, t, d).transpose(0, 1, 3, 2, 4)
+    return x.reshape(b * hg, t, G * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, block_q, block_kv, interpret, f32_dots=False,
+           pack_heads=False):
+    return _flash_forward(q, k, v, block_q, block_kv, interpret, f32_dots,
+                          pack_heads)[0]
+
+
+def _flash_fwd(q, k, v, block_q, block_kv, interpret, f32_dots, pack_heads):
+    out, lse = _flash_forward(q, k, v, block_q, block_kv, interpret,
+                              f32_dots, pack_heads)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(block_q, block_kv, interpret, f32_dots, res, g):
+def _flash_bwd(block_q, block_kv, interpret, f32_dots, pack_heads, res, g):
     """Pallas FlashAttention-2 backward: the [T, S] probability matrix is
     re-formed blockwise from the saved logsumexp, never in HBM — replacing
     the earlier full einsum-recompute fallback that materialized f32
@@ -342,7 +457,15 @@ def _flash_bwd(block_q, block_kv, interpret, f32_dots, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-_flash_jit = jax.jit(_flash, static_argnums=(3, 4, 5, 6))
+_flash_jit = jax.jit(_flash, static_argnums=(3, 4, 5, 6, 7))
+
+
+def _pack_heads_flag() -> bool:
+    """ADT_FLASH_PACK_HEADS=0 disables head packing (A/B escape hatch).
+    Resolved outside the jit like _f32_dots, so it is part of the cache
+    key."""
+    import os
+    return os.environ.get("ADT_FLASH_PACK_HEADS", "1") != "0"
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -350,22 +473,88 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     """softmax(q k^T / sqrt(D)) v for q [B,H,T,D], k/v [B,H,S,D].
 
-    The ADT_FLASH_F32_DOTS escape hatch is resolved HERE (outside the jit)
-    and passed as a static argument, so it is part of the jit cache key —
-    flipping it mid-process affects the very next call, forward and
-    backward consistently."""
-    return _flash_jit(q, k, v, block_q, block_kv, interpret, _f32_dots())
+    The ADT_FLASH_F32_DOTS / ADT_FLASH_PACK_HEADS escape hatches are
+    resolved HERE (outside the jit) and passed as static arguments, so they
+    are part of the jit cache key — flipping them mid-process affects the
+    very next call, forward and backward consistently."""
+    return _flash_jit(q, k, v, block_q, block_kv, interpret, _f32_dots(),
+                      _pack_heads_flag())
+
+
+def _flash_forward_packed(q, k, v, block_q: int, block_kv: int,
+                          interpret: bool, f32_dots: bool, G: int):
+    """Head-packed forward dispatch (see _attn_kernel_packed). Returns
+    (out [b,h,t,d], lse [b*h, t]) — identical contract to the unpacked
+    path, so the (unpacked) backward kernels consume its residuals
+    unchanged."""
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    hg = -(-h // G)
+    scale = 1.0 / np.sqrt(d)
+    gd = G * d
+    # the f32 logits tile is [bq, G*bk]: cap the KV block so the packed
+    # step still covers G*bk source tokens per grid step, and budget bq
+    # against the G-times-wider logits
+    block_kv = min(block_kv, 512, max(128, s))
+    budget = (1 << 21) if q.dtype == jnp.bfloat16 else (1 << 20)
+    block_q = min(block_q, max(128, t),
+                  max(128, budget // (G * block_kv)))
+
+    qp = _pad_to(_pack_layout(q, G), 1, block_q)
+    kp = _pad_to(_pack_layout(k, G), 1, block_kv)
+    vp = _pad_to(_pack_layout(v, G), 1, block_kv)
+    t_pad, s_pad = qp.shape[1], kp.shape[1]
+    bhg = b * hg
+
+    out, lse = pl.pallas_call(
+        functools.partial(_attn_kernel_packed, scale=scale, s_valid=s,
+                          block_kv=block_kv, groups=G, head_dim=d,
+                          want_lse=True, f32_dots=f32_dots),
+        grid=(bhg, t_pad // block_q, s_pad // block_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, gd), lambda i, tq, j: (i, tq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, gd), lambda i, tq, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, gd), lambda i, tq, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, gd), lambda i, tq, j: (i, tq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, G), lambda i, tq, j: (i, tq, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((bhg, t_pad, gd), v.dtype),
+                   jax.ShapeDtypeStruct((bhg, t_pad, G), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, gd), jnp.float32),
+            pltpu.VMEM((block_q, G), jnp.float32),
+            pltpu.VMEM((block_q, G), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+
+    o = out[:, :t].reshape(b, hg, t, G, d).transpose(0, 1, 3, 2, 4)
+    o = o.reshape(b, hg * G, t, d)[:, :h]
+    l = lse[:, :t].reshape(b, hg, t, G).transpose(0, 1, 3, 2)
+    l = l.reshape(b, hg * G, t)[:, :h].reshape(b * h, t)
+    return o, l
 
 
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    block_q: int, block_kv: int, interpret: bool,
-                   f32_dots: bool = False):
+                   f32_dots: bool = False, pack_heads: bool = False):
     """Returns (out [b,h,t,d], lse [b*h, t_pad]) — lse is the FA-2 residual
     consumed by _flash_bwd (discarded on the pure-forward path; its write
     traffic is t*4 bytes per row, negligible)."""
     b, h, t, d = q.shape
     s = k.shape[2]
     assert d <= 512, f"head dim {d} > 512: split heads further"
+    G = _pack_groups(h, d, pack_heads)
+    if G >= 2:
+        return _flash_forward_packed(q, k, v, block_q, block_kv, interpret,
+                                     f32_dots, G)
     block_kv = min(block_kv, max(128, s))
     # bound the [bq, bk] f32 logits/p tiles by a VMEM budget: larger q
     # blocks win (bq=1024 is 34% faster than 256 at T=1024 on v5e) until

@@ -41,6 +41,58 @@ class TestFlashAttention:
                                    np.asarray(want, np.float32),
                                    atol=3e-2, rtol=3e-2)
 
+    @pytest.mark.parametrize("h,d", [
+        (8, 40),    # SD self/cross: G=3, 8 heads pad to 9 (one zero head)
+        (6, 64),    # ADM res32: G=2, exact split
+        (4, 32),    # G=4 exact
+        (3, 48),    # G=2, 3 heads pad to 4
+    ])
+    def test_head_packed_matches_einsum_and_unpacked(self, monkeypatch, h, d):
+        """The head-packed kernel (G=floor(128/D) heads per grid step,
+        block-diagonal KV expansion — VERDICT r3 #3) must match both the
+        einsum reference and the unpacked kernel (ADT_FLASH_PACK_HEADS=0)
+        for every G/H divisibility case, fwd and bwd."""
+        rng = np.random.RandomState(11)
+        q = jnp.asarray(rng.randn(2, h, 192, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(2, h, 256, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(2, h, 256, d).astype(np.float32))
+        want = reference_attention(q, k, v)
+        monkeypatch.setenv("ADT_FLASH_PACK_HEADS", "1")
+        got = flash_attention(q, k, v, block_q=64, block_kv=128,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+        gq = jax.grad(lambda q_: flash_attention(
+            q_, k, v, block_q=64, block_kv=128, interpret=True)
+            .astype(jnp.float32).sum())(q)
+        monkeypatch.setenv("ADT_FLASH_PACK_HEADS", "0")
+        unpacked = flash_attention(q, k, v, block_q=64, block_kv=128,
+                                   interpret=True)
+        gq_un = jax.grad(lambda q_: flash_attention(
+            q_, k, v, block_q=64, block_kv=128, interpret=True)
+            .astype(jnp.float32).sum())(q)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(unpacked),
+                                   atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_un),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_head_packed_bf16_sd_shape(self, monkeypatch):
+        """bf16 at the SD head geometry (D=40, H=8): the packed MXU dots
+        see structural zeros in the cross-head lanes, which are exact, so
+        bf16 tolerance matches the unpacked kernel's."""
+        monkeypatch.setenv("ADT_FLASH_PACK_HEADS", "1")
+        rng = np.random.RandomState(12)
+        q = jnp.asarray(rng.randn(1, 8, 256, 40), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(1, 8, 256, 40), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(1, 8, 256, 40), jnp.bfloat16)
+        want = reference_attention(q, k, v)
+        got = flash_attention(q, k, v, block_q=128, block_kv=128,
+                              interpret=True)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   atol=3e-2, rtol=3e-2)
+
     @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
     def test_f32_dots_escape_hatch_matches_einsum(self, monkeypatch, dtype):
         """ADT_FLASH_F32_DOTS=1 restores the pre-round-3 f32 operand
