@@ -80,12 +80,42 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, scale: Optional[jnp.ndarray] = None,
                  shift: Optional[jnp.ndarray] = None,
-                 act: Optional[str] = None) -> jnp.ndarray:
+                 act: Optional[str] = None,
+                 return_affine: bool = False) -> jnp.ndarray:
         from ..ops.fused_norm import fused_group_norm, fused_norm_available
 
         c = x.shape[-1]
         groups = min(self.num_groups, c)
         gamma, beta = _GNParams(c, name="GroupNorm_0")()
+
+        if return_affine:
+            # Fold the whole normalize+FiLM into ONE per-(batch, channel)
+            # f32 affine (a, b) with GN(x)*(1+scale)+shift == x*a + b, for
+            # the epilogue-ingesting conv (ops/conv_im2col.py
+            # conv3x3_fused): the consumer applies act(x*a+b) inside its
+            # own VMEM pass. Stats use the exact f32 fast-variance math of
+            # the default path below; the fold applies FiLM in f32 where
+            # the default path applies it after the compute-dtype cast —
+            # one bf16 rounding step more precise, only reachable behind
+            # the ADT_FUSED_CONV gate.
+            b = x.shape[0]
+            xg = x.astype(jnp.float32).reshape(b, -1, groups, c // groups)
+            mu = jnp.mean(xg, axis=(1, 3))                       # [B, G]
+            var = jnp.maximum(
+                jnp.mean(xg * xg, axis=(1, 3)) - mu * mu, 0.0)
+            rstd = jax.lax.rsqrt(var + self.epsilon)             # [B, G]
+            per_c = c // groups
+            rstd_c = jnp.repeat(rstd, per_c, axis=1)             # [B, C]
+            mu_c = jnp.repeat(mu, per_c, axis=1)
+            a = rstd_c * gamma[None]
+            off = beta[None] - mu_c * a
+            if scale is not None:
+                film = 1.0 + scale.reshape(b, c).astype(jnp.float32)
+                a = a * film
+                off = off * film
+            if shift is not None:
+                off = off + shift.reshape(b, c).astype(jnp.float32)
+            return a, off
 
         fused = (fused_norm_available(x.shape, groups)
                  if self.use_fused == "auto" else bool(self.use_fused))
@@ -140,11 +170,14 @@ class Conv3x3(nn.Module):
     features: int
     kernel_init: Any = nn.initializers.lecun_normal()
     use_im2col: Any = "auto"
+    use_fused: Any = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.conv_im2col import (_xla_conv3x3, conv3x3,
+    def __call__(self, x: jnp.ndarray, affine=None,
+                 residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from ..ops.conv_im2col import (_xla_conv3x3, _xla_fused_ref, conv3x3,
+                                       conv3x3_fused, resolve_use_fused_conv,
                                        resolve_use_im2col)
 
         b, h, w, c_in = x.shape
@@ -154,6 +187,18 @@ class Conv3x3(nn.Module):
                           (self.features,), jnp.float32)
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
+        if affine is not None:
+            # norm-act-conv(-residual) fusion: the caller passes the raw
+            # (pre-norm) x plus GroupNorm32(return_affine=True)'s folded
+            # (a, b); silu(x*a+b) happens inside the conv pass. The
+            # non-gated fallback is the identical math in XLA ops, so the
+            # call sites stay one code path.
+            a, off = affine
+            if resolve_use_fused_conv(self.use_fused, h, w, c_in,
+                                      self.features, x.dtype):
+                return conv3x3_fused(x, a, off, kernel, bias, residual)
+            return _xla_fused_ref(x, a, off, kernel, bias, residual)
+        assert residual is None, "residual fusion needs affine"
         if resolve_use_im2col(self.use_im2col, h, w, c_in, self.features,
                               x.dtype):
             return conv3x3(x, kernel, bias)

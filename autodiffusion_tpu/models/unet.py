@@ -105,28 +105,47 @@ class ResBlock(nn.Module):
                 return Conv3x3(c_out, dtype=self.dtype, name="skip")(x)
             return nn.Conv(c_out, (1, 1), dtype=self.dtype, name="skip")(x)
 
-        h = GroupNorm32(use_fused=self.fused_norm, name="in_norm")(x, act="silu")
+        # norm-act-conv fusion (ops/conv_im2col.py conv3x3_fused, behind
+        # ADT_FUSED_CONV): legal when the norm feeds the conv directly —
+        # no up/down resample between them, and dropout a no-op. Gate off
+        # => the exact pre-existing composition, bit for bit.
+        from ..ops.conv_im2col import resolve_use_fused_conv
+        hw = x.shape[1:3]
+        cdtype = jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.float32
+        fuse_in = (not (self.up or self.down)
+                   and resolve_use_fused_conv("auto", hw[0], hw[1], c_in,
+                                              c_out, cdtype))
+        fuse_out = ((deterministic or self.dropout == 0)
+                    and resolve_use_fused_conv("auto", hw[0], hw[1], c_out,
+                                               c_out, cdtype))
+
+        in_norm = GroupNorm32(use_fused=self.fused_norm, name="in_norm")
+        in_conv = Conv3x3(c_out, dtype=self.dtype, name="in_conv")
+        if fuse_in:
+            h = in_conv(x, affine=in_norm(x, return_affine=True))
+        else:
+            h = in_norm(x, act="silu")
+            if self.up:
+                h = Upsample(use_conv=False, dtype=self.dtype, name="h_upd")(h)
+            elif self.down:
+                h = Downsample(use_conv=False, dtype=self.dtype,
+                               name="h_upd")(h)
+            h = in_conv(h)
         if self.up:
-            h = Upsample(use_conv=False, dtype=self.dtype, name="h_upd")(h)
             x = Upsample(use_conv=False, dtype=self.dtype, name="x_upd")(x)
         elif self.down:
-            h = Downsample(use_conv=False, dtype=self.dtype, name="h_upd")(h)
             x = Downsample(use_conv=False, dtype=self.dtype, name="x_upd")(x)
-        h = Conv3x3(c_out, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = nn.Dense(2 * c_out if self.use_scale_shift_norm else c_out,
                            dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        out_norm = GroupNorm32(use_fused=self.fused_norm, name="out_norm")
+        out_conv = Conv3x3(c_out, kernel_init=zero_init, dtype=self.dtype,
+                           name="out_conv")
+        scale = shift = None
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)        # [B, c_out]
-            h = GroupNorm32(use_fused=self.fused_norm, name="out_norm")(
-                h, scale=scale, shift=shift, act="silu")
         else:
             h = h + emb_out[:, None, None, :]
-            h = GroupNorm32(use_fused=self.fused_norm, name="out_norm")(
-                h, act="silu")
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = Conv3x3(c_out, kernel_init=zero_init, dtype=self.dtype,
-                    name="out_conv")(h)
 
         if c_out == c_in:
             skip = x
@@ -135,6 +154,16 @@ class ResBlock(nn.Module):
         else:
             skip = nn.Conv(c_out, (1, 1), dtype=self.dtype, name="skip")(x)
 
+        if fuse_out:
+            aff = out_norm(h, scale=scale, shift=shift, return_affine=True)
+            if keep is None:
+                # the residual rides the conv's own output pass
+                return out_conv(h, affine=aff, residual=skip)
+            return skip + _apply_keep(out_conv(h, affine=aff), keep)
+
+        h = out_norm(h, scale=scale, shift=shift, act="silu")
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = out_conv(h)
         return skip + _apply_keep(h, keep)
 
 

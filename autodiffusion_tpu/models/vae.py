@@ -28,9 +28,10 @@ class VAEGroupNorm(nn.Module):
     kernel's VMEM cap and falls back automatically)."""
 
     @nn.compact
-    def __call__(self, x, *, act=None):
+    def __call__(self, x, *, act=None, return_affine=False):
         from .nn import GroupNorm32
-        return GroupNorm32(epsilon=1e-6, name="gn")(x, act=act)
+        return GroupNorm32(epsilon=1e-6, name="gn")(
+            x, act=act, return_affine=return_affine)
 
 
 class VAEResnetBlock(nn.Module):
@@ -39,14 +40,33 @@ class VAEResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.conv_im2col import resolve_use_fused_conv
+        from .nn import Conv3x3
+
         c_out = self.out_channels or x.shape[-1]
-        h = VAEGroupNorm(name="norm1")(x, act="silu")
-        h = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = VAEGroupNorm(name="norm2")(h, act="silu")
-        h = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
-        if c_out != x.shape[-1]:
+        c_in = x.shape[-1]
+        hh, ww = x.shape[1:3]
+        # norm-act-conv(-residual) fusion (ADT_FUSED_CONV; see unet.py
+        # ResBlock). The 512px decoder's 128-channel convs are the worst
+        # measured conv shape in the repo (~42% useful MXU, BENCH_NOTES
+        # "Round-3 conv roofline") — these are the fused kernel's target.
+        cdtype = jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.float32
+        fuse1 = resolve_use_fused_conv("auto", hh, ww, c_in, c_out, cdtype)
+        fuse2 = resolve_use_fused_conv("auto", hh, ww, c_out, c_out, cdtype)
+
+        norm1 = VAEGroupNorm(name="norm1")
+        conv1 = Conv3x3(c_out, dtype=self.dtype, name="conv1")
+        if fuse1:
+            h = conv1(x, affine=norm1(x, return_affine=True))
+        else:
+            h = conv1(norm1(x, act="silu"))
+        if c_out != c_in:
             x = nn.Conv(c_out, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
-        return x + h
+        norm2 = VAEGroupNorm(name="norm2")
+        conv2 = Conv3x3(c_out, dtype=self.dtype, name="conv2")
+        if fuse2:
+            return conv2(h, affine=norm2(h, return_affine=True), residual=x)
+        return x + conv2(norm2(h, act="silu"))
 
 
 class VAEAttnBlock(nn.Module):

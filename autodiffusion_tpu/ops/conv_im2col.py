@@ -66,7 +66,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3x3", "conv3x3_im2col", "resolve_use_im2col"]
+__all__ = ["conv3x3", "conv3x3_im2col", "conv3x3_fused",
+           "resolve_use_im2col", "resolve_use_fused_conv"]
 
 # Shapes (H, W, C_in, C_out) where the kernel measured FASTER than XLA's
 # conv on the ISOLATED conv microbench (BENCH_NOTES.md "Round-3
@@ -192,14 +193,16 @@ def _im2col_dot(wmat_ref, bias_ref, out_ref, patches, *,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _conv_kernel(main_ref, above_ref, below_ref, wmat_ref, bias_ref,
-                 out_ref, patches, *, tile_h: int, wdim: int, c_in: int,
-                 has_bias: bool, split_k: bool = False):
-    """Grid (B, H/tile_h, C_out/co_block), C_out innermost: the patch
-    build runs once per row tile (co == 0) and the patch matrix persists
-    in scratch across the C_out blocks (the TPU grid is sequential)."""
-    ti = pl.program_id(1)
-    n_t = pl.num_programs(1)
+def _build_patches(patches, main_ref, above_ref, below_ref, ti, n_t, *,
+                   tile_h: int, wdim: int, c_in: int, transform=None):
+    """Assemble the [tile_h, W, 9*C_in] patch matrix for one row tile.
+    Runs under pl.when(co == 0) in the callers; the TPU grid is sequential
+    so the scratch persists across the C_out blocks. ``transform``, if
+    given, maps each delivered [R, W, C] input block (main + halo rows)
+    before it enters the patch matrix — the fused-conv prologue.
+    ti/n_t (the row-tile program id/count) are passed in because
+    pl.program_id may not be called inside a pl.when body (the callers
+    wrap this function in one)."""
     th = tile_h
 
     def put(dh, rows, src):
@@ -221,38 +224,100 @@ def _conv_kernel(main_ref, above_ref, below_ref, wmat_ref, bias_ref,
                     patches[rows, :wdim - 1, lo:lo + c_in] = src[:, 1:]
                 patches[rows, wdim - 1, lo:lo + c_in] = zcol
 
+    main = main_ref[0]  # [tile_h, W, C]
+    if transform is not None:
+        main = transform(main)
+    # interior rows: kernel row dh reads input row r + dh - 1
+    put(1, slice(0, th), main)
+    if th > 1:
+        put(0, slice(1, th), main[:th - 1])
+        put(2, slice(0, th - 1), main[1:])
+    # halo rows: the tile above/below, or the SAME-pad zero row at the
+    # image edges (above/below blocks are index-clamped there and
+    # must be ignored)
+    zrow = jnp.zeros((1, wdim, c_in), main.dtype)
+
+    @pl.when(ti == 0)
+    def _():
+        put(0, slice(0, 1), zrow)
+
+    @pl.when(ti > 0)
+    def _():
+        src = above_ref[0]
+        put(0, slice(0, 1), src if transform is None else transform(src))
+
+    @pl.when(ti == n_t - 1)
+    def _():
+        put(2, slice(th - 1, th), zrow)
+
+    @pl.when(ti < n_t - 1)
+    def _():
+        src = below_ref[0]
+        put(2, slice(th - 1, th), src if transform is None else transform(src))
+
+
+def _conv_kernel(main_ref, above_ref, below_ref, wmat_ref, bias_ref,
+                 out_ref, patches, *, tile_h: int, wdim: int, c_in: int,
+                 has_bias: bool, split_k: bool = False):
+    """Grid (B, H/tile_h, C_out/co_block), C_out innermost: the patch
+    build runs once per row tile (co == 0) and the patch matrix persists
+    in scratch across the C_out blocks (the TPU grid is sequential)."""
+    ti = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
     @pl.when(pl.program_id(2) == 0)
     def _():
-        main = main_ref[0]  # [tile_h, W, C]
-        # interior rows: kernel row dh reads input row r + dh - 1
-        put(1, slice(0, th), main)
-        if th > 1:
-            put(0, slice(1, th), main[:th - 1])
-            put(2, slice(0, th - 1), main[1:])
-        # halo rows: the tile above/below, or the SAME-pad zero row at the
-        # image edges (above/below blocks are index-clamped there and
-        # must be ignored)
-        zrow = jnp.zeros((1, wdim, c_in), main.dtype)
-
-        @pl.when(ti == 0)
-        def _():
-            put(0, slice(0, 1), zrow)
-
-        @pl.when(ti > 0)
-        def _():
-            put(0, slice(0, 1), above_ref[0])
-
-        @pl.when(ti == n_t - 1)
-        def _():
-            put(2, slice(th - 1, th), zrow)
-
-        @pl.when(ti < n_t - 1)
-        def _():
-            put(2, slice(th - 1, th), below_ref[0])
+        _build_patches(patches, main_ref, above_ref, below_ref, ti, n_t,
+                       tile_h=tile_h, wdim=wdim, c_in=c_in)
 
     _im2col_dot(wmat_ref, bias_ref, out_ref, patches,
                 tile_h=tile_h, wdim=wdim, c_in=c_in, has_bias=has_bias,
                 split_k=split_k)
+
+
+def _fused_conv_kernel(main_ref, above_ref, below_ref, a_ref, b_ref,
+                       wmat_ref, bias_ref, *rest, tile_h: int, wdim: int,
+                       c_in: int, has_bias: bool, has_res: bool):
+    """conv3x3 with the ResBlock's surrounding elementwise ops INGESTED
+    (VERDICT r3 #2): input blocks are mapped through
+    ``silu(x * a + b)`` in f32 (a/b fold GroupNorm mean/rstd/gamma/beta
+    and the FiLM scale/shift into one per-(batch, channel) affine) before
+    patch assembly, and the output tile takes an optional residual add.
+    This is what the round-3 postmortems proved a bare Pallas conv is
+    missing: XLA fuses norm-scale/SiLU/residual into ITS conv but nothing
+    fuses into a custom call, so the custom call pays HBM round trips the
+    XLA conv never does (BENCH_NOTES "Round-3 follow-up"). Here the fused
+    epilogue rides the same VMEM pass as the patch build."""
+    if has_res:
+        res_ref, out_ref, patches = rest
+    else:
+        out_ref, patches = rest
+        res_ref = None
+
+    a = a_ref[0].astype(jnp.float32)        # [C_in], broadcasts over rows
+    b = b_ref[0].astype(jnp.float32)
+
+    def transform(src):
+        xf = src.astype(jnp.float32) * a[None] + b[None]
+        return (xf * jax.nn.sigmoid(xf)).astype(src.dtype)
+
+    ti = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        _build_patches(patches, main_ref, above_ref, below_ref, ti, n_t,
+                       tile_h=tile_h, wdim=wdim, c_in=c_in,
+                       transform=transform)
+
+    m = tile_h * wdim
+    p = patches[...].reshape(m, 9 * c_in)
+    acc = jnp.dot(p, wmat_ref[...], preferred_element_type=jnp.float32)
+    if has_bias:
+        acc = acc + bias_ref[...].astype(jnp.float32)
+    if res_ref is not None:
+        acc = acc + res_ref[0].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
@@ -321,6 +386,150 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
         interpret=interpret,
     )(x, x, x, wmat, bias2d)
     return flat.reshape(b, h, wdim, c_out)
+
+
+def _conv3x3_fused_impl(x, a, b, w, bias, residual, *,
+                        tile_h=None, co_block=None, interpret=False):
+    """Pallas dispatch for the fused norm-act-conv(-residual). See
+    _fused_conv_kernel. x [B,H,W,C_in]; a/b [B,C_in] f32; residual
+    [B,H,W,C_out] or None."""
+    bsz, h, wdim, c_in = x.shape
+    kh, kw, wc_in, c_out = w.shape
+    if (kh, kw) != (3, 3) or wc_in != c_in:
+        raise ValueError(f"conv3x3_fused needs [3,3,{c_in},*] weights, "
+                         f"got {w.shape}")
+    itemsize = jnp.dtype(x.dtype).itemsize
+    th = (tile_h if tile_h is not None
+          else _pick_tile_h(h, wdim, c_in, itemsize))
+    if th is None or h % th:
+        raise ValueError(f"no valid row tile for H={h} (tile_h={tile_h})")
+    co = (co_block if co_block is not None
+          else _pick_co_block(c_out, c_in, itemsize))
+    if co is None or c_out % co:
+        raise ValueError(f"no valid C_out block for C_out={c_out} "
+                         f"(co_block={co_block})")
+
+    wmat = w.reshape(9 * c_in, c_out)
+    has_bias = bias is not None
+    bias2d = (bias.reshape(1, c_out) if has_bias
+              else jnp.zeros((1, c_out), w.dtype))
+    has_res = residual is not None
+
+    kernel = functools.partial(_fused_conv_kernel, tile_h=th, wdim=wdim,
+                               c_in=c_in, has_bias=has_bias, has_res=has_res)
+    grid = (bsz, h // th, c_out // co)
+    in_specs = [
+        pl.BlockSpec((1, th, wdim, c_in),
+                     lambda bi, ti, ci: (bi, ti, 0, 0)),
+        pl.BlockSpec((1, 1, wdim, c_in),
+                     lambda bi, ti, ci: (bi, jnp.maximum(ti * th - 1, 0),
+                                         0, 0)),
+        pl.BlockSpec((1, 1, wdim, c_in),
+                     lambda bi, ti, ci: (bi, jnp.minimum(ti * th + th,
+                                                         h - 1), 0, 0)),
+        pl.BlockSpec((1, c_in), lambda bi, ti, ci: (bi, 0)),
+        pl.BlockSpec((1, c_in), lambda bi, ti, ci: (bi, 0)),
+        pl.BlockSpec((9 * c_in, co), lambda bi, ti, ci: (0, ci)),
+        pl.BlockSpec((1, co), lambda bi, ti, ci: (0, ci)),
+    ]
+    args = [x, x, x, a.astype(jnp.float32), b.astype(jnp.float32),
+            wmat, bias2d]
+    if has_res:
+        in_specs.append(pl.BlockSpec((1, th * wdim, co),
+                                     lambda bi, ti, ci: (bi, ti, ci)))
+        args.append(residual.reshape(bsz, h * wdim, c_out))
+    flat = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th * wdim, co),
+                               lambda bi, ti, ci: (bi, ti, ci)),
+        out_shape=jax.ShapeDtypeStruct((bsz, h * wdim, c_out), x.dtype),
+        scratch_shapes=[pltpu.VMEM((th, wdim, 9 * c_in), x.dtype)],
+        interpret=interpret,
+    )(*args)
+    return flat.reshape(bsz, h, wdim, c_out)
+
+
+def _xla_fused_ref(x, a, b, w, bias, residual):
+    """The exact math conv3x3_fused implements, in XLA ops: the parity
+    oracle, the non-TPU fallback, and the custom_vjp backward. NB the
+    affine+SiLU runs in f32 and is cast to the conv dtype — the same
+    contract as the kernel (GroupNorm32's default path instead applies
+    FiLM/SiLU after the bf16 cast; the fused fold is one bf16 rounding
+    step MORE precise, see norm_act_conv3x3)."""
+    xf = (x.astype(jnp.float32) * a[:, None, None, :]
+          + b[:, None, None, :])
+    xt = (xf * jax.nn.sigmoid(xf)).astype(x.dtype)
+    out = _xla_conv3x3(xt, w, bias)
+    if residual is not None:
+        out = out + residual
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def conv3x3_fused(x, a, b, w, bias, residual=None, tile_h=None,
+                  interpret=False):
+    """silu(x*a + b) -> 3x3 SAME conv -> (+ bias) (+ residual), one Pallas
+    pass (VERDICT r3 #2: the epilogue-ingesting conv). The backward
+    delegates to the XLA expression's own VJP — exact for the fused math;
+    it IS a hot path when the gate routes the guidance classifier's
+    ResBlocks here (jax.grad inside the sampling scan)."""
+    return _conv3x3_fused_impl(x, a, b, w, bias, residual, tile_h=tile_h,
+                               interpret=interpret)
+
+
+def _conv3x3_fused_fwd(x, a, b, w, bias, residual, tile_h, interpret):
+    return (conv3x3_fused(x, a, b, w, bias, residual, tile_h, interpret),
+            (x, a, b, w, bias, residual))
+
+
+def _conv3x3_fused_bwd(tile_h, interpret, res, g):
+    x, a, b, w, bias, residual = res
+    diff = [x, a, b, w] + ([bias] if bias is not None else []) \
+        + ([residual] if residual is not None else [])
+
+    def f(*args):
+        xs = list(args)
+        x_, a_, b_, w_ = xs[:4]
+        rest = xs[4:]
+        bias_ = rest.pop(0) if bias is not None else None
+        res_ = rest.pop(0) if residual is not None else None
+        return _xla_fused_ref(x_, a_, b_, w_, bias_, res_)
+
+    _, vjp = jax.vjp(f, *diff)
+    grads = list(vjp(g))
+    dx, da, db, dw = grads[:4]
+    rest = grads[4:]
+    dbias = rest.pop(0) if bias is not None else None
+    dres = rest.pop(0) if residual is not None else None
+    return dx, da, db, dw, dbias, dres
+
+
+conv3x3_fused.defvjp(_conv3x3_fused_fwd, _conv3x3_fused_bwd)
+
+
+def resolve_use_fused_conv(use: object, h: int, w: int, c_in: int,
+                           c_out: int, dtype=jnp.bfloat16) -> bool:
+    """Gate for the fused norm-act-conv path. Same Mosaic legality as
+    resolve_use_im2col; "auto" additionally requires ADT_FUSED_CONV=1
+    (default OFF until the on-chip A/B lands — BENCH_NOTES ledger
+    discipline, same contract as ADT_IM2COL_CONV)."""
+    if jax.default_backend() != "tpu":
+        return False
+    if c_in < 64 or c_out < 64:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if _pick_co_block(c_out, c_in, itemsize) is None:
+        return False
+    th = _pick_tile_h(h, w, c_in, itemsize)
+    if th is None:
+        return False
+    if (th * w) % 8 != 0 and th != h:
+        return False
+    if use == "auto":
+        return os.environ.get("ADT_FUSED_CONV", "0") == "1"
+    return bool(use)
 
 
 def _xla_conv3x3(x, w, bias):
