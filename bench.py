@@ -47,6 +47,10 @@ def pallas_kernels_disabled():
         "ADT_FLASH_MIN_TOKENS": str(1 << 30),  # flash attention: off
         "ADT_IM2COL_CONV": "0",                # implicit-im2col conv: off
         "ADT_FUSED_NORM": "0",                 # fused GroupNorm: off
+        "ADT_FUSED_CONV": "0",                 # fused norm-act-conv: off
+        "ADT_FLASH_PACK_HEADS": "0",           # packed heads change no
+                                               # FLOPs but keep counting
+                                               # and timing gates aligned
     }
 
     @contextlib.contextmanager

@@ -20,9 +20,11 @@ class TestPallasKernelsDisabled:
         with bench.pallas_kernels_disabled():
             # flash: min-tokens pushed above any real sequence length
             assert int(os.environ["ADT_FLASH_MIN_TOKENS"]) >= 1 << 30
-            # im2col conv + fused norm: hard off
+            # im2col conv + fused norm + fused norm-act-conv: hard off
             assert os.environ["ADT_IM2COL_CONV"] == "0"
             assert os.environ["ADT_FUSED_NORM"] == "0"
+            assert os.environ["ADT_FUSED_CONV"] == "0"
+            assert os.environ["ADT_FLASH_PACK_HEADS"] == "0"
             # the resolved gates agree (CPU backend already forces False,
             # so check the env-level contract the TPU path consults)
             from autodiffusion_tpu.ops.conv_im2col import resolve_use_im2col
