@@ -63,13 +63,21 @@ def accumulate_stats(stats: FeatureStats, feats: jnp.ndarray,
     (evaluator_v1.py compute_statistics). Pass the SAME shift to
     finalize_stats.
     """
+    import jax
+
     f32 = feats.astype(stats.s1.dtype)
     if shift is not None:
         f32 = f32 - shift.astype(f32.dtype)
+    # The outer-product sum MUST run at full f32 precision: on TPU the
+    # default f32 matmul uses reduced-precision bf16 passes, and a ~1e-2
+    # relative error on s2 propagates through sqrt(eig(.)) into multi-unit
+    # FID bias (measured: negative FIDs at n=512 in the round-4 method
+    # proof). The dot is [D,B]x[B,D] — trivial FLOPs next to the model.
     return FeatureStats(
         n=stats.n + feats.shape[0],
         s1=stats.s1 + f32.sum(axis=0),
-        s2=stats.s2 + f32.T @ f32,
+        s2=stats.s2 + jnp.matmul(f32.T, f32,
+                                 precision=jax.lax.Precision.HIGHEST),
     )
 
 
@@ -169,13 +177,25 @@ def make_device_frechet(ref_stats: FIDStats):
     tr_ref = float(np.trace(ref_stats.sigma))
 
     def one(sq, n, s1, s2):
-        mu_delta = s1 / n                       # == mu - mu_ref (centered)
-        sigma = (s2 - n * jnp.outer(mu_delta, mu_delta)) / (n - 1.0)
-        inner = sq @ sigma @ sq
-        ev = jnp.linalg.eigvalsh((inner + inner.T) / 2.0)
-        tr_sqrt = jnp.sqrt(jnp.maximum(ev, 0.0)).sum()
-        return (mu_delta @ mu_delta + jnp.trace(sigma) + tr_ref
-                - 2.0 * tr_sqrt)
+        # Full f32 precision throughout: TPU's default f32 matmul runs
+        # reduced-precision bf16 passes (in these dots AND inside
+        # eigvalsh's iterations), which biased tr_sqrt upward enough to
+        # drive small-n FIDs negative (round-4 method proof, n=512).
+        with jax.default_matmul_precision("highest"):
+            mu_delta = s1 / n                   # == mu - mu_ref (centered)
+            sigma = (s2 - n * jnp.outer(mu_delta, mu_delta)) / (n - 1.0)
+            inner = sq @ sigma @ sq
+            ev = jnp.linalg.eigvalsh((inner + inner.T) / 2.0)
+            # Exact rank truncation: sigma from n mean-subtracted samples
+            # has rank <= n-1, so eig(sqrt_ref sigma sqrt_ref) has at most
+            # n-1 nonzeros; below that is eigh noise whose sqrt otherwise
+            # accumulates across ~D-n eigenvalues into the FID.
+            d = ev.shape[-1]
+            keep = jnp.arange(d, dtype=jnp.float32) >= (d - (n - 1.0))
+            tr_sqrt = jnp.sqrt(jnp.maximum(jnp.where(keep, ev, 0.0),
+                                           0.0)).sum()
+            return (mu_delta @ mu_delta + jnp.trace(sigma) + tr_ref
+                    - 2.0 * tr_sqrt)
 
     batched = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
 

@@ -202,3 +202,36 @@ class TestDeviceFrechet:
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
         # ranking must be preserved
         assert list(np.argsort(got)) == list(np.argsort(want))
+
+    def test_rank_deficient_small_n(self):
+        """n << D: sigma has rank n-1, so all but the top n-1 eigenvalues
+        of sqrt_ref sigma sqrt_ref are numerical noise. Without the exact
+        rank truncation (and full-precision dots) their square roots
+        accumulate into tr_sqrt and bias the FID low — measured as
+        NEGATIVE candidate FIDs at n=512 in the round-4 on-chip method
+        proof. Pre-fix this case is off by ~0.7 absolute even in exact
+        host f32; the fixed path agrees with host f64 to ~3e-4."""
+        from autodiffusion_tpu.fid.stats import (frechet_distance_eigh,
+                                                 make_device_frechet)
+        rng = np.random.RandomState(42)
+        D, N, n, C = 768, 4000, 256, 3
+        ref = FIDStats.from_features(rng.randn(N, D) * 1.5 + 3.0)
+        fn = make_device_frechet(ref)
+        w, v = np.linalg.eigh(ref.sigma)
+        lfac = v * np.sqrt(np.maximum(w, 0))
+
+        ns, s1s, s2s, want = [], [], [], []
+        for c in range(C):
+            feats = ref.mu + rng.randn(n, D) @ lfac.T * (1.0 + 0.05 * c)
+            centered = feats - ref.mu
+            ns.append(float(n))
+            s1s.append(centered.sum(0))
+            s2s.append(centered.T @ centered)
+            want.append(frechet_distance_eigh(FIDStats.from_features(feats),
+                                              ref))
+        stats = FeatureStats(n=jnp.asarray(ns),
+                             s1=jnp.asarray(np.stack(s1s), jnp.float32),
+                             s2=jnp.asarray(np.stack(s2s), jnp.float32))
+        got = np.asarray(fn(stats))
+        assert (got >= 0).all(), got
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=0.05)
