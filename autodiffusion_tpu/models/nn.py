@@ -14,7 +14,7 @@ zero_module, timestep_embedding) re-expressed for flax/linen. Conventions:
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +55,23 @@ class _GNParams(nn.Module):
                            (self.features,), jnp.float32),
                 self.param("bias", nn.initializers.zeros_init(),
                            (self.features,), jnp.float32))
+
+
+def _group_stats(x: jnp.ndarray, groups: int,
+                 epsilon: float) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared [B, G] GroupNorm statistics (f32 fast-variance math).
+
+    Single source of truth for both GroupNorm32 paths (the default
+    normalize path and the return_affine fold) so epsilon handling and
+    the variance clamp can never drift between them. Returns
+    ``(xg, mu, rstd)`` with ``xg`` of shape [B, -1, G, C//G] and
+    ``mu``/``rstd`` of shape [B, G].
+    """
+    b, c = x.shape[0], x.shape[-1]
+    xg = x.astype(jnp.float32).reshape(b, -1, groups, c // groups)
+    mu = jnp.mean(xg, axis=(1, 3))
+    var = jnp.maximum(jnp.mean(xg * xg, axis=(1, 3)) - mu * mu, 0.0)
+    return xg, mu, jax.lax.rsqrt(var + epsilon)
 
 
 class GroupNorm32(nn.Module):
@@ -99,11 +116,7 @@ class GroupNorm32(nn.Module):
             # one bf16 rounding step more precise, only reachable behind
             # the ADT_FUSED_CONV gate.
             b = x.shape[0]
-            xg = x.astype(jnp.float32).reshape(b, -1, groups, c // groups)
-            mu = jnp.mean(xg, axis=(1, 3))                       # [B, G]
-            var = jnp.maximum(
-                jnp.mean(xg * xg, axis=(1, 3)) - mu * mu, 0.0)
-            rstd = jax.lax.rsqrt(var + self.epsilon)             # [B, G]
+            _, mu, rstd = _group_stats(x, groups, self.epsilon)  # [B, G]
             per_c = c // groups
             rstd_c = jnp.repeat(rstd, per_c, axis=1)             # [B, C]
             mu_c = jnp.repeat(mu, per_c, axis=1)
@@ -137,11 +150,9 @@ class GroupNorm32(nn.Module):
         # custom_vjp boundary costs fusion — see BENCH_NOTES.md.
         orig_dtype = x.dtype
         b = x.shape[0]
-        xg = x.astype(jnp.float32).reshape(b, -1, groups, c // groups)
-        mu = jnp.mean(xg, axis=(1, 3), keepdims=True)
-        var = jnp.maximum(
-            jnp.mean(xg * xg, axis=(1, 3), keepdims=True) - mu * mu, 0.0)
-        mul = jax.lax.rsqrt(var + self.epsilon) * gamma.reshape(1, 1, groups, -1)
+        xg, mu, rstd = _group_stats(x, groups, self.epsilon)
+        mu = mu[:, None, :, None]
+        mul = rstd[:, None, :, None] * gamma.reshape(1, 1, groups, -1)
         h = ((xg - mu) * mul + beta.reshape(1, 1, groups, -1))
         h = h.reshape(x.shape).astype(orig_dtype)
         bshape = (b,) + (1,) * (x.ndim - 2) + (c,)

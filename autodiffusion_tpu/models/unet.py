@@ -115,9 +115,17 @@ class ResBlock(nn.Module):
         fuse_in = (not (self.up or self.down)
                    and resolve_use_fused_conv("auto", hw[0], hw[1], c_in,
                                               c_out, cdtype))
+        # out_conv runs at the post-resample resolution for up/down blocks;
+        # gate on that shape so it matches Conv3x3's internal re-resolution
+        if self.up:
+            out_hw = (hw[0] * 2, hw[1] * 2)
+        elif self.down:
+            out_hw = (hw[0] // 2, hw[1] // 2)
+        else:
+            out_hw = hw
         fuse_out = ((deterministic or self.dropout == 0)
-                    and resolve_use_fused_conv("auto", hw[0], hw[1], c_out,
-                                               c_out, cdtype))
+                    and resolve_use_fused_conv("auto", out_hw[0], out_hw[1],
+                                               c_out, c_out, cdtype))
 
         in_norm = GroupNorm32(use_fused=self.fused_norm, name="in_norm")
         in_conv = Conv3x3(c_out, dtype=self.dtype, name="in_conv")

@@ -165,7 +165,12 @@ class BatchedFIDFitness:
             return FeatureStats(
                 n=stats.n + b,
                 s1=stats.s1 + by_cand.sum(axis=1),
-                s2=stats.s2 + jnp.einsum("cbd,cbe->cde", by_cand, by_cand),
+                s2=stats.s2 + jnp.einsum(
+                    "cbd,cbe->cde", by_cand, by_cand,
+                    # same rationale as fid/stats.accumulate_stats: the TPU
+                    # default-precision f32 outer product biases s2 enough
+                    # to drive small-n FIDs negative (round-4 method proof)
+                    precision=jax.lax.Precision.HIGHEST),
             )
 
         self._chunk_step = jax.jit(chunk_step)
