@@ -294,8 +294,8 @@ def _fused_conv_kernel(main_ref, above_ref, below_ref, a_ref, b_ref,
         out_ref, patches = rest
         res_ref = None
 
-    a = a_ref[0].astype(jnp.float32)        # [C_in], broadcasts over rows
-    b = b_ref[0].astype(jnp.float32)
+    a = a_ref[0, 0].astype(jnp.float32)     # [C_in], broadcasts over rows
+    b = b_ref[0, 0].astype(jnp.float32)
 
     def transform(src):
         xf = src.astype(jnp.float32) * a[None] + b[None]
@@ -427,12 +427,18 @@ def _conv3x3_fused_impl(x, a, b, w, bias, residual, *,
         pl.BlockSpec((1, 1, wdim, c_in),
                      lambda bi, ti, ci: (bi, jnp.minimum(ti * th + th,
                                                          h - 1), 0, 0)),
-        pl.BlockSpec((1, c_in), lambda bi, ti, ci: (bi, 0)),
-        pl.BlockSpec((1, c_in), lambda bi, ti, ci: (bi, 0)),
+        # [B, 1, C_in]: Mosaic's last-two-dims rule needs (1, c_in) to
+        # EQUAL the trailing array dims — a flat [B, C_in] with block
+        # (1, c_in) is illegal for B not divisible by 8 (found on real
+        # Mosaic, round 5; interpret mode accepted it)
+        pl.BlockSpec((1, 1, c_in), lambda bi, ti, ci: (bi, 0, 0)),
+        pl.BlockSpec((1, 1, c_in), lambda bi, ti, ci: (bi, 0, 0)),
         pl.BlockSpec((9 * c_in, co), lambda bi, ti, ci: (0, ci)),
         pl.BlockSpec((1, co), lambda bi, ti, ci: (0, ci)),
     ]
-    args = [x, x, x, a.astype(jnp.float32), b.astype(jnp.float32),
+    args = [x, x, x,
+            a.astype(jnp.float32).reshape(bsz, 1, c_in),
+            b.astype(jnp.float32).reshape(bsz, 1, c_in),
             wmat, bias2d]
     if has_res:
         in_specs.append(pl.BlockSpec((1, th * wdim, co),

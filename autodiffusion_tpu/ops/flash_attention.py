@@ -461,11 +461,21 @@ _flash_jit = jax.jit(_flash, static_argnums=(3, 4, 5, 6, 7))
 
 
 def _pack_heads_flag() -> bool:
-    """ADT_FLASH_PACK_HEADS=0 disables head packing (A/B escape hatch).
+    """ADT_FLASH_PACK_HEADS=1 enables head packing (A/B escape hatch).
     Resolved outside the jit like _f32_dots, so it is part of the cache
-    key."""
+    key.
+
+    Default OFF: measured on v5e (docs/probes/probe_pack_heads.py, round
+    5) the packed forward LOSES at both target shapes — SD self-attention
+    (D=40, G=3) 10.81 vs 6.83 ms (0.63x) and ADM res-32 (D=64, G=2)
+    fwd+bwd 4.67 vs 3.48 ms (0.74x). The packed QK^T executes G x the
+    logits FLOPs with (G-1)/G structurally zero, and on the MXU that
+    extra arithmetic is not free — the same microbench-win/end-to-end-
+    loss shape as fused-norm and im2col (BENCH_NOTES round-3/round-5
+    ledger). Shipping this ON unmeasured was the cause of BENCH_r04's
+    83.9 imgs/s headline regression (round 3: 89.93)."""
     import os
-    return os.environ.get("ADT_FLASH_PACK_HEADS", "1") != "0"
+    return os.environ.get("ADT_FLASH_PACK_HEADS", "0") == "1"
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

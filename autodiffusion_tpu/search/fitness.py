@@ -28,6 +28,7 @@ Caller supplies:
 
 from __future__ import annotations
 
+import math
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
@@ -275,4 +276,16 @@ class BatchedFIDFitness:
         # (search_imagenet64_classifier_guidance.py:375)
         logger.log(f"reset_time: {reset_time:.3f}, sample_time: "
                    f"{sample_time:.3f}, fid_time: {time.time() - t0:.3f}")
-        return out
+        # FID is non-negative by definition; a materially negative or
+        # non-finite value means numerics are broken (round 4's reduced-
+        # precision s2 drove small-n FIDs to -5) and every score from this
+        # evaluator is suspect — fail loudly instead of letting the EA
+        # descend a corrupted landscape. Tiny negatives (f32 Frechet noise
+        # at small n) clamp to 0.
+        for f in out:
+            if not math.isfinite(f) or f < -0.01:
+                raise FloatingPointError(
+                    f"fitness produced an invalid FID {f!r} (chunk FIDs: "
+                    f"{out}); the moment/Frechet numerics are broken — see "
+                    "fid/stats.py precision notes")
+        return [max(f, 0.0) for f in out]

@@ -225,6 +225,21 @@ class TestBatchedFitness:
         b = self._fitness(feature_fn=two_arg, feature_params=fp)(cands)
         np.testing.assert_array_equal(a, b)
 
+    def test_invalid_fid_guard(self):
+        """A materially negative or non-finite FID at the fitness boundary
+        raises instead of feeding the EA a corrupted landscape (round 4's
+        reduced-precision s2 drove small-n FIDs to -5); tiny negatives from
+        f32 Frechet noise clamp to 0."""
+        f = self._fitness(candidate_chunk=2)
+        f._device_frechet = lambda stats: jnp.asarray([-5.46, 1.0])
+        with pytest.raises(FloatingPointError, match="invalid FID"):
+            f([(500, 1), (450, 2)])
+        f._device_frechet = lambda stats: jnp.asarray([jnp.nan, 1.0])
+        with pytest.raises(FloatingPointError, match="invalid FID"):
+            f([(500, 1), (450, 2)])
+        f._device_frechet = lambda stats: jnp.asarray([-1e-4, 1.0])
+        assert f([(500, 1), (450, 2)]) == [0.0, 1.0]
+
     def test_resume_is_bitwise_at_fitness_level(self, tmp_path):
         """A resumed search scores FRESH candidates with the same noise
         stream as an uninterrupted run: the fitness eval counter is part
