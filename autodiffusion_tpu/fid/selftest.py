@@ -63,6 +63,14 @@ def run_selftest(inception_path: str, *, ref_batch: Optional[str] = None,
     from .inception import FIDInceptionV3, load_fid_inception_params, preprocess
     from .stats import FIDStats, frechet_distance
 
+    # fail fast on inconsistent arguments BEFORE any heavy work (loading
+    # weights + two jitted parity passes take minutes; a bad flag pair
+    # must not silently ride through them first)
+    if bool(ref_batch) != bool(ref_stats):
+        raise ValueError("--ref_batch and --ref_stats must be given together "
+                         "(the reference-batch FID scores one against the "
+                         "other)")
+
     out: Dict[str, Any] = {"checks": {}}
     checks = out["checks"]
 
@@ -148,12 +156,8 @@ def run_selftest(inception_path: str, *, ref_batch: Optional[str] = None,
     else:
         parity_ok = None
 
-    # 5. published artifacts (optional; both sides required — scoring a
-    # batch needs stats to compare against, and vice versa)
-    if bool(ref_batch) != bool(ref_stats):
-        raise ValueError("--ref_batch and --ref_stats must be given together "
-                         "(the reference-batch FID scores one against the "
-                         "other)")
+    # 5. published artifacts (optional; both-or-neither was validated at
+    # entry)
     if ref_batch and ref_stats:
         with np.load(ref_batch) as z:
             # OpenAI reference batches (VIRTUAL_imagenet64_labeled.npz)

@@ -63,9 +63,16 @@ def main():
     from autodiffusion_tpu.search import make_adm_fitness
     from autodiffusion_tpu.utils.checkpoint import load_tree
 
+    # must mirror the adt-train/adt-search CLI model EXACTLY (run_proof.sh
+    # MODEL_FLAGS + the CLI defaults for the unset flags: scale-shift norm,
+    # resblock up/down, new attention order, head width 64, bf16) or the
+    # msgpack template mismatches the trained tree
     cfg = ModelConfig(image_size=32, num_channels=64, num_res_blocks=2,
                       attention_resolutions="16,8", class_cond=False,
-                      learn_sigma=True, noise_schedule="cosine")
+                      learn_sigma=True, noise_schedule="cosine",
+                      use_scale_shift_norm=True, resblock_updown=True,
+                      use_new_attention_order=True, num_head_channels=64,
+                      use_bf16=True)
     model = create_model(cfg)
     shapes = jax.eval_shape(lambda: model.init(
         jax.random.key(0),

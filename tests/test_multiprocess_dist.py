@@ -5,6 +5,12 @@ The reference tests multi-node only by running it (SURVEY §4); here a
 cross-host paths — world_size, barrier, all_gather_host, and the
 loss-aware sampler's cross-process gather — not a simulation.
 Reference: guided_diffusion/dist_util.py:21-43, resample.py:71-104.
+
+The three product-path checks (GSPMD train step, ADM fitness chunk, SD
+latent fitness chunk) run as PHASES of one combined worker pair: each
+jax.distributed bootstrap costs ~30 s of import+init per process on this
+single-core host, so one spawn for three independent assertions keeps the
+suite inside its wall-clock budget with identical coverage.
 """
 
 import os
@@ -32,7 +38,37 @@ def _worker_env():
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     return env
 
-WORKER = textwrap.dedent("""
+
+def _spawn_pair(script_path, timeout):
+    """Run the 2-process coordinator group to completion; returns both
+    ranks' combined stdout/stderr."""
+    port = socket.socket()
+    port.bind(("localhost", 0))
+    addr = f"localhost:{port.getsockname()[1]}"
+    port.close()
+    env = _worker_env()
+    procs = [subprocess.Popen(
+        [sys.executable, str(script_path), str(i), addr],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out)
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+    return outs
+
+
+def _parse(outs, marker):
+    vals = []
+    for out in outs:
+        for line in out.splitlines():
+            if marker in line:
+                vals.append(float(line.split("=")[1]))
+    return vals
+
+
+BOOTSTRAP = textwrap.dedent("""
     import os, sys
     import numpy as np
     os.environ.pop("XLA_FLAGS", None)      # no virtual-device override here
@@ -42,6 +78,10 @@ WORKER = textwrap.dedent("""
     jax.distributed.initialize(coordinator_address=sys.argv[2],
                                num_processes=2, process_id=pid,
                                local_device_ids=[0])
+""")
+
+
+WORKER = BOOTSTRAP + textwrap.dedent("""
     from autodiffusion_tpu.parallel.dist import (all_gather_host, barrier,
                                                  rank, world_size)
     assert world_size() == 2, world_size()
@@ -67,37 +107,13 @@ WORKER = textwrap.dedent("""
 
 class TestTwoProcessDistributed:
     def test_allgather_and_sampler_across_processes(self, tmp_path):
-        port = socket.socket()
-        port.bind(("localhost", 0))
-        addr = f"localhost:{port.getsockname()[1]}"
-        port.close()
-
         script = tmp_path / "worker.py"
         script.write_text(WORKER)
-        env = _worker_env()
-        procs = [subprocess.Popen([sys.executable, str(script), str(i), addr],
-                                  stdout=subprocess.PIPE,
-                                  stderr=subprocess.STDOUT, text=True,
-                                  env=env)
-                 for i in range(2)]
-        outs = []
-        for i, p in enumerate(procs):
-            out, _ = p.communicate(timeout=300)
-            outs.append(out)
-            assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+        outs = _spawn_pair(script, 300)
         assert "RANK0_OK" in outs[0] and "RANK1_OK" in outs[1]
 
 
-TRAIN_WORKER = textwrap.dedent("""
-    import os, sys
-    import numpy as np
-    os.environ.pop("XLA_FLAGS", None)
-    import jax
-    jax.config.update("jax_platforms", "cpu")
-    pid = int(sys.argv[1])
-    jax.distributed.initialize(coordinator_address=sys.argv[2],
-                               num_processes=2, process_id=pid,
-                               local_device_ids=[0])
+TRAIN_PHASE = textwrap.dedent("""
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
     from jax.sharding import PartitionSpec as P
@@ -145,24 +161,11 @@ TRAIN_WORKER = textwrap.dedent("""
 """)
 
 
-FITNESS_WORKER = textwrap.dedent("""
-    import os, sys
-    import numpy as np
-    os.environ.pop("XLA_FLAGS", None)
-    import jax
-    jax.config.update("jax_platforms", "cpu")
-    pid = int(sys.argv[1])
-    jax.distributed.initialize(coordinator_address=sys.argv[2],
-                               num_processes=2, process_id=pid,
-                               local_device_ids=[0])
+FITNESS_PHASE = textwrap.dedent("""
     import random as pyrandom
-    import jax.numpy as jnp
 
     from autodiffusion_tpu.fid import FIDStats
-    from autodiffusion_tpu.models import UNetModel
-    from autodiffusion_tpu.parallel import (data_sharder, global_replicate,
-                                            make_mesh)
-    from autodiffusion_tpu.parallel.dist import barrier
+    from autodiffusion_tpu.parallel import global_replicate
     from autodiffusion_tpu.search import TimestepSpace, make_adm_fitness
 
     mesh = make_mesh()        # data=2 over the two processes' devices
@@ -192,71 +195,6 @@ FITNESS_WORKER = textwrap.dedent("""
     print(f"RANK{pid}_FID={fid:.10f}")
     barrier("fitness_end")
 """)
-
-
-class TestTwoProcessShardedFitness:
-    def test_fitness_chunk_across_processes_matches_unsharded(self, tmp_path):
-        """The PRODUCT path (guided sampling -> features -> moments ->
-        Frechet) GSPMD-sharded across a REAL 2-process mesh: both ranks
-        compute the same FID, and it equals the unsharded single-process
-        evaluation of the identical candidate — the rebuild's equivalent
-        of the reference's rank-sharded sampling + all_gather
-        (search_imagenet64_classifier_guidance.py:356-366)."""
-        port = socket.socket()
-        port.bind(("localhost", 0))
-        addr = f"localhost:{port.getsockname()[1]}"
-        port.close()
-
-        script = tmp_path / "fitness_worker.py"
-        script.write_text(FITNESS_WORKER)
-        env = _worker_env()
-        procs = [subprocess.Popen([sys.executable, str(script), str(i), addr],
-                                  stdout=subprocess.PIPE,
-                                  stderr=subprocess.STDOUT, text=True,
-                                  env=env)
-                 for i in range(2)]
-        outs = []
-        for i, p in enumerate(procs):
-            out, _ = p.communicate(timeout=300)
-            outs.append(out)
-            assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
-        fids = []
-        for out in outs:
-            for line in out.splitlines():
-                if "_FID=" in line:
-                    fids.append(float(line.split("=")[1]))
-        assert len(fids) == 2 and fids[0] == fids[1], fids
-
-        # unsharded single-process reference of the identical candidate
-        import random as pyrandom
-
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
-
-        from autodiffusion_tpu.fid import FIDStats
-        from autodiffusion_tpu.models import UNetModel
-        from autodiffusion_tpu.search import TimestepSpace, make_adm_fitness
-
-        m = UNetModel(model_channels=32, out_channels=6, num_res_blocks=1,
-                      attention_ds=(2,), channel_mult=(1, 2),
-                      num_head_channels=32)
-        params = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)),
-                        jnp.zeros((1,)))
-
-        def feature_fn(imgs):
-            x = imgs.astype(jnp.float32).reshape(imgs.shape[0], -1)
-            return {"pool3": x[:, :8]}
-
-        ref = FIDStats.from_features(
-            np.random.RandomState(2).randn(100, 8) * 40 + 127)
-        fitness = make_adm_fitness(
-            model=m, params=params, image_size=8, feature_fn=feature_fn,
-            ref_stats=ref, num_samples=16, batch_size=16, num_classes=None,
-            base_schedule="cosine", candidate_chunk=1, seed=3, feature_dim=8)
-        cand = TimestepSpace(1000, 4, rng=pyrandom.Random(1)).random()
-        plain = fitness([cand])[0]
-        np.testing.assert_allclose(fids[0], plain, rtol=1e-4)
 
 
 SD_SETUP = textwrap.dedent("""
@@ -305,67 +243,84 @@ SD_SETUP = textwrap.dedent("""
 """)
 
 
-SD_FITNESS_WORKER = textwrap.dedent("""
-    import os, sys
-    import numpy as np
-    os.environ.pop("XLA_FLAGS", None)
-    import jax
-    jax.config.update("jax_platforms", "cpu")
-    pid = int(sys.argv[1])
-    jax.distributed.initialize(coordinator_address=sys.argv[2],
-                               num_processes=2, process_id=pid,
-                               local_device_ids=[0])
-    import random as pyrandom
-
-    from autodiffusion_tpu.parallel import (data_sharder, global_replicate,
-                                            make_mesh)
-    from autodiffusion_tpu.parallel.dist import barrier
-    from autodiffusion_tpu.search import TimestepSpace
-""") + SD_SETUP + textwrap.dedent("""
-    mesh = make_mesh()     # data=2 over the two processes' devices
-    fitness = build_sd_fitness(
+SD_PHASE = SD_SETUP + textwrap.dedent("""
+    sd_fitness = build_sd_fitness(
         shard_fn=data_sharder(mesh),
         place_fn=lambda tree: global_replicate(mesh, tree))
     cand = TimestepSpace(1000, 4, rng=pyrandom.Random(1)).random()
     with mesh:
-        fid = fitness([cand])[0]
+        fid = sd_fitness([cand])[0]
     print(f"RANK{pid}_SDFID={fid:.10f}")
     barrier("sd_fitness_end")
 """)
 
 
+COMBINED_WORKER = BOOTSTRAP + TRAIN_PHASE + FITNESS_PHASE + SD_PHASE
+
+
+@pytest.fixture(scope="module")
+def combined_outputs(tmp_path_factory):
+    """One 2-process spawn covering all three product-path phases; each
+    phase prints its own marker line, asserted by its own test below."""
+    script = tmp_path_factory.mktemp("mp") / "combined_worker.py"
+    script.write_text(COMBINED_WORKER)
+    return _spawn_pair(script, 900)
+
+
+class TestTwoProcessShardedFitness:
+    def test_fitness_chunk_across_processes_matches_unsharded(
+            self, combined_outputs):
+        """The PRODUCT path (guided sampling -> features -> moments ->
+        Frechet) GSPMD-sharded across a REAL 2-process mesh: both ranks
+        compute the same FID, and it equals the unsharded single-process
+        evaluation of the identical candidate — the rebuild's equivalent
+        of the reference's rank-sharded sampling + all_gather
+        (search_imagenet64_classifier_guidance.py:356-366)."""
+        fids = _parse(combined_outputs, "_FID=")
+        assert len(fids) == 2 and fids[0] == fids[1], fids
+
+        # unsharded single-process reference of the identical candidate
+        import random as pyrandom
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from autodiffusion_tpu.fid import FIDStats
+        from autodiffusion_tpu.models import UNetModel
+        from autodiffusion_tpu.search import TimestepSpace, make_adm_fitness
+
+        m = UNetModel(model_channels=32, out_channels=6, num_res_blocks=1,
+                      attention_ds=(2,), channel_mult=(1, 2),
+                      num_head_channels=32)
+        params = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)),
+                        jnp.zeros((1,)))
+
+        def feature_fn(imgs):
+            x = imgs.astype(jnp.float32).reshape(imgs.shape[0], -1)
+            return {"pool3": x[:, :8]}
+
+        ref = FIDStats.from_features(
+            np.random.RandomState(2).randn(100, 8) * 40 + 127)
+        fitness = make_adm_fitness(
+            model=m, params=params, image_size=8, feature_fn=feature_fn,
+            ref_stats=ref, num_samples=16, batch_size=16, num_classes=None,
+            base_schedule="cosine", candidate_chunk=1, seed=3, feature_dim=8)
+        cand = TimestepSpace(1000, 4, rng=pyrandom.Random(1)).random()
+        plain = fitness([cand])[0]
+        np.testing.assert_allclose(fids[0], plain, rtol=1e-4)
+
+
 class TestTwoProcessShardedSDFitness:
     def test_sd_fitness_chunk_across_processes_matches_unsharded(
-            self, tmp_path):
+            self, combined_outputs):
         """The SD LATENT product path (CLIP context bank -> CFG PLMS ->
         VAE decode -> features -> Frechet) GSPMD-sharded across a REAL
         2-process mesh: both ranks compute the same FID and it equals the
         unsharded single-process evaluation — the latent-search
         counterpart of the ADM sharded-fitness test
         (sd/scripts/search_ea.py:504-566)."""
-        port = socket.socket()
-        port.bind(("localhost", 0))
-        addr = f"localhost:{port.getsockname()[1]}"
-        port.close()
-
-        script = tmp_path / "sd_fitness_worker.py"
-        script.write_text(SD_FITNESS_WORKER)
-        env = _worker_env()
-        procs = [subprocess.Popen([sys.executable, str(script), str(i), addr],
-                                  stdout=subprocess.PIPE,
-                                  stderr=subprocess.STDOUT, text=True,
-                                  env=env)
-                 for i in range(2)]
-        outs = []
-        for i, p in enumerate(procs):
-            out, _ = p.communicate(timeout=600)
-            outs.append(out)
-            assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
-        fids = []
-        for out in outs:
-            for line in out.splitlines():
-                if "_SDFID=" in line:
-                    fids.append(float(line.split("=")[1]))
+        fids = _parse(combined_outputs, "_SDFID=")
         assert len(fids) == 2 and fids[0] == fids[1], fids
 
         # unsharded single-process reference of the identical candidate
@@ -383,7 +338,7 @@ class TestTwoProcessShardedSDFitness:
 
 
 class TestTwoProcessDataParallelTrain:
-    def test_train_step_matches_single_process(self, tmp_path):
+    def test_train_step_matches_single_process(self, combined_outputs):
         """One GSPMD-sharded train step over a REAL 2-process mesh: both
         ranks converge to identical loss/params (implicit psum), and the
         loss equals the same step computed unsharded in this process
@@ -392,29 +347,7 @@ class TestTwoProcessDataParallelTrain:
         import jax.numpy as jnp
         import numpy as np
 
-        port = socket.socket()
-        port.bind(("localhost", 0))
-        addr = f"localhost:{port.getsockname()[1]}"
-        port.close()
-
-        script = tmp_path / "train_worker.py"
-        script.write_text(TRAIN_WORKER)
-        env = _worker_env()
-        procs = [subprocess.Popen([sys.executable, str(script), str(i), addr],
-                                  stdout=subprocess.PIPE,
-                                  stderr=subprocess.STDOUT, text=True,
-                                  env=env)
-                 for i in range(2)]
-        outs = []
-        for i, p in enumerate(procs):
-            out, _ = p.communicate(timeout=300)
-            outs.append(out)
-            assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
-        losses = []
-        for out in outs:
-            for line in out.splitlines():
-                if "_LOSS=" in line:
-                    losses.append(float(line.split("=")[1]))
+        losses = _parse(combined_outputs, "_LOSS=")
         assert len(losses) == 2 and losses[0] == losses[1], losses
 
         # unsharded single-process reference on the identical global batch
