@@ -515,12 +515,40 @@ def _conv3x3_fused_bwd(tile_h, interpret, res, g):
 conv3x3_fused.defvjp(_conv3x3_fused_fwd, _conv3x3_fused_bwd)
 
 
+# (H, W, C_in, C_out) sites where the FUSED norm-act-conv-residual kernel
+# measured faster on chip BOTH in the isolated chain probe
+# (probe_fused_conv.py — both sides run the complete GN-stats + normalize
+# + SiLU + conv + residual composition, so the XLA side already enjoys its
+# elementwise fusions) AND in the end-to-end program that owns the shape
+# (BENCH_NOTES "Round-5 fused-conv verdict"). The winners are the 512px
+# VAE decoder's large-spatial slabs (chain probe 1.05-1.26x; standalone
+# 512px decode 288.8 -> 169.1 ms, 1.71x, MFU 0.273 -> 0.467). Excluded by
+# measurement: every compute-bound shape (ADM 192/384ch 0.28-0.78x, SD
+# 640/1280ch deep levels 0.56-0.75x, VAE 64px mid-block a 1.015x tie) and
+# the SD latent res64 (64,64,320,320) — its chain probe won 1.18x but the
+# end-to-end CFG denoise step measured 112.1 -> 112.3 ms (neutral at
+# best: the round-3 in-context fusion-loss pattern). The SD FITNESS chunk
+# additionally traces with the gate defaulted off (search/fitness.py
+# _trace_with_fused_conv_defaulted_off): even the VAE winners lose inside
+# that megaprogram (0.697 -> 0.773 s/candidate). Unmeasured shapes fall
+# back to XLA: ledger discipline cuts both ways.
+_FUSED_MEASURED_WINNERS = frozenset({
+    (512, 512, 128, 128),   # VAE decoder level 3 (1.050x)
+    (512, 512, 256, 128),   # VAE decoder 256->128 transition (1.205x)
+    (256, 256, 256, 256),   # VAE decoder level 2 (1.192x)
+    (256, 256, 512, 256),   # VAE decoder 512->256 transition (1.160x)
+    (128, 128, 512, 512),   # VAE decoder level 1 (1.264x)
+})
+
+
 def resolve_use_fused_conv(use: object, h: int, w: int, c_in: int,
                            c_out: int, dtype=jnp.bfloat16) -> bool:
     """Gate for the fused norm-act-conv path. Same Mosaic legality as
-    resolve_use_im2col; "auto" additionally requires ADT_FUSED_CONV=1
-    (default OFF until the on-chip A/B lands — BENCH_NOTES ledger
-    discipline, same contract as ADT_IM2COL_CONV)."""
+    resolve_use_im2col. "auto" consults ADT_FUSED_CONV:
+    unset or "1" -> the measured-winners whitelist (the default: every
+    entry beat XLA's fused chain on chip, BENCH_NOTES "Round-5 fused-conv
+    verdict"); "0" -> off everywhere (bench FLOP-counting twins, A/B
+    baselines); "all" -> every Mosaic-legal shape (probe harness only)."""
     if jax.default_backend() != "tpu":
         return False
     if c_in < 64 or c_out < 64:
@@ -534,7 +562,12 @@ def resolve_use_fused_conv(use: object, h: int, w: int, c_in: int,
     if (th * w) % 8 != 0 and th != h:
         return False
     if use == "auto":
-        return os.environ.get("ADT_FUSED_CONV", "0") == "1"
+        env = os.environ.get("ADT_FUSED_CONV", "1")
+        if env == "0":
+            return False
+        if env == "all":
+            return True
+        return (h, w, c_in, c_out) in _FUSED_MEASURED_WINNERS
     return bool(use)
 
 

@@ -28,7 +28,9 @@ Caller supplies:
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
@@ -48,6 +50,35 @@ def to_uint8(samples: jnp.ndarray) -> jnp.ndarray:
     """[-1,1] float -> uint8, reference rounding
     (search_imagenet64_classifier_guidance.py:352-354)."""
     return jnp.clip((samples + 1) * 127.5, 0, 255).astype(jnp.uint8)
+
+
+def _trace_with_fused_conv_defaulted_off(fn):
+    """Trace the fitness chunk with ADT_FUSED_CONV defaulted to "0".
+
+    Measured on chip (BENCH_NOTES "Round-5 fused-conv verdict"): the fused
+    norm-act-conv kernel wins the STANDALONE VAE 512px decode 1.71x
+    (288.8 -> 169.1 ms) but LOSES inside the SD fitness chunk program
+    (0.697 -> 0.773 s/candidate, steady chunk 1.311 -> 1.476 s) — inside
+    the PLMS-scan + decode + Inception megaprogram XLA's scheduling around
+    the custom calls costs more than the kernel saves, the same
+    in-context-loss shape as round 3's im2col/flash-gate results. So the
+    chunk program traces with the gate off by default while the standalone
+    decode paths (txt2img/img2img/ldm-sample, `adt evaluate`) keep the
+    measured winners. An EXPLICIT ADT_FUSED_CONV in the environment still
+    wins — that is the A/B probe's handle. The env only matters during
+    trace (resolve_use_fused_conv reads it at module-trace time); cached
+    executions pay one dict check.
+    """
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        if "ADT_FUSED_CONV" in os.environ:
+            return fn(*args, **kwargs)
+        os.environ["ADT_FUSED_CONV"] = "0"
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            del os.environ["ADT_FUSED_CONV"]
+    return wrapped
 
 
 class BatchedFIDFitness:
@@ -174,7 +205,8 @@ class BatchedFIDFitness:
                     precision=jax.lax.Precision.HIGHEST),
             )
 
-        self._chunk_step = jax.jit(chunk_step)
+        self._chunk_step = _trace_with_fused_conv_defaulted_off(
+            jax.jit(chunk_step))
 
     # ---- noise-stream state (EA checkpoint/resume) ----
     # Each chunk evaluation folds _eval_count into its RNG, so the noise

@@ -418,11 +418,20 @@ def test_fused_gate_bounds(monkeypatch):
 
     monkeypatch.setattr(ci.jax, "default_backend", lambda: "tpu")
     monkeypatch.delenv("ADT_FUSED_CONV", raising=False)
-    # auto follows the env gate
+    # default = measured winners only (BENCH_NOTES "Round-5 fused-conv
+    # verdict"): ADM res64 measured 0.28x, every 512px-VAE level won
     assert ci.resolve_use_fused_conv("auto", 64, 64, 192, 192) is False
+    assert ci.resolve_use_fused_conv("auto", 512, 512, 128, 128) is True
+    assert ci.resolve_use_fused_conv("auto", 256, 256, 512, 256) is True
+    assert ci.resolve_use_fused_conv("auto", 64, 64, 320, 320) is True
+    # "1" is the same whitelist; "0" forces off; "all" is the probe mode
     monkeypatch.setenv("ADT_FUSED_CONV", "1")
+    assert ci.resolve_use_fused_conv("auto", 64, 64, 192, 192) is False
+    assert ci.resolve_use_fused_conv("auto", 512, 512, 128, 128) is True
+    monkeypatch.setenv("ADT_FUSED_CONV", "0")
+    assert ci.resolve_use_fused_conv("auto", 512, 512, 128, 128) is False
+    monkeypatch.setenv("ADT_FUSED_CONV", "all")
     assert ci.resolve_use_fused_conv("auto", 64, 64, 192, 192) is True
-    # same Mosaic legality bounds as the plain im2col gate
+    # same Mosaic legality bounds as the plain im2col gate, in every mode
     assert ci.resolve_use_fused_conv("auto", 64, 64, 3, 192) is False
     assert ci.resolve_use_fused_conv("auto", 16, 16, 576, 576) is False
-    assert ci.resolve_use_fused_conv("auto", 512, 512, 128, 128) is True
